@@ -1,0 +1,37 @@
+"""Device mesh construction and env-bank sharding helpers."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_AXIS = "env"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = ENV_AXIS) -> Mesh:
+    """1-D mesh over all (or the first n) devices.
+
+    A 1-D env axis is the right topology here: rollouts have no cross-chip
+    traffic and the learner's pmean is a single all-reduce, which XLA maps
+    onto the ICI torus regardless of the logical mesh shape. Multi-host
+    v5e slices work unchanged — jax.devices() spans hosts.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_leading_axis(tree, mesh: Mesh, axis: str = ENV_AXIS):
+    """Place a pytree with NamedSharding P(axis) on every leaf's leading dim."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree across the mesh (params, opt state)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,10 @@
+"""RL: PPO learner (GAE, clipped objective) over scan rollouts.
+
+Greenfield for the TPU rebuild (the reference has no RL training loop; its
+README positions the sim "for RL training"). Design follows the BASELINE
+north star: batched rollouts on sharded env banks feed a data-parallel
+learner whose gradients sync with ``psum`` over the mesh's env axis.
+"""
+
+from fpyv_tpu.rl.ppo import PpoConfig, PpoState, make_ppo  # noqa: F401
+from fpyv_tpu.rl.gae import compute_gae  # noqa: F401

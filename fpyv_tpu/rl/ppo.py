@@ -1,0 +1,202 @@
+"""PPO: clipped-surrogate actor-critic over vectorized env rollouts.
+
+One ``ppo.train_iteration`` = T-step scan rollout over N envs + E epochs of
+minibatched updates — a single jitted program. When run under ``shard_map``
+over a mesh axis (fpyv_tpu.parallel), gradients are averaged across devices
+with ``jax.lax.pmean`` (axis_name passed via config), which XLA lowers to an
+all-reduce over ICI; everything else is local to the shard.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from fpyv_tpu.rl.gae import compute_gae
+
+
+@dataclass(frozen=True)
+class PpoConfig:
+    num_envs: int = 4096
+    num_steps: int = 32  # T per rollout
+    update_epochs: int = 4
+    num_minibatches: int = 8
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    ent_coef: float = 0.001
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    learning_rate: float = 3e-4
+    axis_name: Optional[str] = None  # mesh axis for cross-device grad pmean
+
+
+@struct.dataclass
+class PpoState:
+    params: Any
+    opt_state: Any
+    env_state: Any
+    last_obs: jnp.ndarray
+    key: jnp.ndarray
+    update_count: jnp.ndarray
+
+
+@struct.dataclass
+class Transition:
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    log_prob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+def gaussian_log_prob(mean, log_std, action):
+    std = jnp.exp(log_std)
+    z = (action - mean) / std
+    return jnp.sum(
+        -0.5 * z**2 - log_std - 0.5 * jnp.log(2.0 * jnp.pi), axis=-1
+    )
+
+
+def gaussian_entropy(log_std):
+    return jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e), axis=-1)
+
+
+def make_ppo(
+    apply_fn: Callable,  # apply_fn(params, obs) -> (mean, log_std, value)
+    env_step: Callable,  # env_step(env_state, action, key) -> (env_state, obs, reward, done)
+    config: PpoConfig,
+):
+    """Build (init, train_iteration) for a vectorized env.
+
+    ``env_step`` is the vectorized step over the local env bank: actions
+    (N, A) in, obs (N, O) / reward (N,) / done (N,) out. Auto-reset must be
+    inside it (fpyv_tpu.envs do this).
+    """
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.learning_rate, eps=1e-5),
+    )
+
+    def init(params, env_state, obs0, key) -> PpoState:
+        return PpoState(
+            params=params,
+            opt_state=tx.init(params),
+            env_state=env_state,
+            last_obs=obs0,
+            key=key,
+            update_count=jnp.zeros((), jnp.int32),
+        )
+
+    def _policy_sample(params, obs, key):
+        mean, log_std, value = apply_fn(params, obs)
+        noise = jax.random.normal(key, mean.shape, mean.dtype)
+        action = mean + jnp.exp(log_std) * noise
+        log_prob = gaussian_log_prob(mean, log_std, action)
+        return action, log_prob, value
+
+    def _rollout(state: PpoState):
+        def body(carry, _):
+            env_state, obs, key = carry
+            key, ka, ks = jax.random.split(key, 3)
+            action, log_prob, value = _policy_sample(state.params, obs, ka)
+            env_state, next_obs, reward, done = env_step(env_state, action, ks)
+            t = Transition(
+                obs=obs, action=action, log_prob=log_prob,
+                value=value, reward=reward, done=done,
+            )
+            return (env_state, next_obs, key), t
+
+        (env_state, last_obs, key), traj = jax.lax.scan(
+            body, (state.env_state, state.last_obs, state.key),
+            None, length=config.num_steps,
+        )
+        return env_state, last_obs, key, traj
+
+    def _loss(params, batch: Transition, advantages, targets):
+        mean, log_std, value = apply_fn(params, batch.obs)
+        log_prob = gaussian_log_prob(mean, log_std, batch.action)
+        ratio = jnp.exp(log_prob - batch.log_prob)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_clipped = batch.value + jnp.clip(
+            value - batch.value, -config.clip_eps, config.clip_eps
+        )
+        v_loss = 0.5 * jnp.mean(
+            jnp.maximum((value - targets) ** 2, (v_clipped - targets) ** 2)
+        )
+        ent = jnp.mean(gaussian_entropy(log_std))
+        total = pg_loss + config.vf_coef * v_loss - config.ent_coef * ent
+        return total, {
+            "pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent,
+            "approx_kl": jnp.mean(batch.log_prob - log_prob),
+        }
+
+    def train_iteration(state: PpoState):
+        env_state, last_obs, key, traj = _rollout(state)
+        _, _, last_value = apply_fn(state.params, last_obs)
+        advantages, targets = compute_gae(
+            traj.reward, traj.value, traj.done, last_value,
+            config.gamma, config.gae_lambda,
+        )
+
+        # flatten (T, N, ...) -> (T*N, ...)
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = jax.tree.map(flat, traj)
+        advantages, targets = flat(advantages), flat(targets)
+        batch_size = config.num_steps * last_obs.shape[0]
+        mb_size = batch_size // config.num_minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kp = jax.random.split(key)
+            perm = jax.random.permutation(kp, batch_size)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                mb_idx = jax.lax.dynamic_slice_in_dim(perm, idx * mb_size, mb_size)
+                mb = jax.tree.map(lambda x: x[mb_idx], batch)
+                mb_adv, mb_tgt = advantages[mb_idx], targets[mb_idx]
+                (loss, metrics), grads = jax.value_and_grad(
+                    _loss, has_aux=True)(params, mb, mb_adv, mb_tgt)
+                if config.axis_name is not None:
+                    grads = jax.lax.pmean(grads, config.axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, metrics)
+
+            (params, opt_state), (losses, metrics) = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(config.num_minibatches),
+            )
+            return (params, opt_state, key), (losses, metrics)
+
+        (params, opt_state, key), (losses, metrics) = jax.lax.scan(
+            epoch, (state.params, state.opt_state, key),
+            None, length=config.update_epochs,
+        )
+
+        new_state = PpoState(
+            params=params, opt_state=opt_state, env_state=env_state,
+            last_obs=last_obs, key=key,
+            update_count=state.update_count + 1,
+        )
+        info = {
+            "loss": losses.mean(),
+            "mean_reward": traj.reward.mean(),
+            "mean_episode_done": traj.done.mean(),
+            **{k: v.mean() for k, v in metrics.items()},
+        }
+        return new_state, info
+
+    return init, train_iteration

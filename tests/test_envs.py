@@ -1,0 +1,172 @@
+"""Env behavior tests: rotate, acro, ball, gridworld."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fpyv_tpu.envs import AcroEnv, BallEnv, MaComGridEnv, RotateEnv
+from fpyv_tpu.envs.acro import rollout, vector_reset
+from fpyv_tpu.envs.ball import ProportionalNavigation
+from fpyv_tpu.control import (
+    RatesControllerParams, rates_controller_init, rates_controller_step,
+)
+from fpyv_tpu.physics.world import update_targets
+
+
+class TestRotateEnv:
+    def test_reset_step_shapes(self):
+        env = RotateEnv(dtype=jnp.float64)
+        state, obs = env.reset(jax.random.key(0))
+        assert obs.shape == (3, 3, 2)
+        state, obs, reward, done, info = env.step(state, jnp.zeros(3))
+        assert obs.shape == (3, 3, 2)
+        assert reward.shape == ()
+
+    def test_reward_is_negative_error(self):
+        env = RotateEnv(dtype=jnp.float64, auto_reset=False)
+        state, obs = env.reset(jax.random.key(1))
+        _, _, reward, _, info = env.step(state, jnp.zeros(3))
+        assert float(reward) == -float(info["error"])
+        assert float(reward) <= 0
+
+    def test_controller_closes_loop(self):
+        """rates controller drives the rotate env to done (rotation_pid main)."""
+        env = RotateEnv(dt=1 / 60, max_rates=480.0, difficulty=0.5,
+                        auto_reset=False, dtype=jnp.float64)
+        cp = RatesControllerParams(max_rates=480.0)
+        state, obs = env.reset(jax.random.key(2))
+        cs = rates_controller_init((), jnp.float64)
+        done = False
+        for _ in range(2000):
+            goal, current = obs[..., 0], obs[..., 1]
+            cs, rates, _ = rates_controller_step(cp, cs, current, goal)
+            state, obs, r, done, _ = env.step(state, rates / 480.0)
+            if bool(done):
+                break
+        assert bool(done)
+
+    def test_vmapped(self):
+        env = RotateEnv(dtype=jnp.float64)
+        keys = jax.random.split(jax.random.key(3), 16)
+        state, obs = jax.vmap(env.reset)(keys)
+        assert obs.shape == (16, 3, 3, 2)
+        state, obs, reward, done, _ = jax.vmap(env.step)(
+            state, jnp.zeros((16, 3)))
+        assert reward.shape == (16,)
+
+
+class TestAcroEnv:
+    def test_vector_rollout_runs(self):
+        env = AcroEnv()
+        world = env.default_world()
+        (state, obs) = vector_reset(env, jax.random.key(0), 32, world)
+        assert obs.shape == (32, env.obs_dim)
+
+        def policy(o):
+            return jnp.zeros((o.shape[0], 4)).at[:, 3].set(-0.6)
+
+        state, world, rewards, dones = rollout(env, state, world, policy, 50)
+        assert rewards.shape == (50, 32)
+        assert np.isfinite(np.asarray(rewards)).all()
+
+    def test_auto_reset_on_crash(self):
+        """Full-throttle-down drones crash and respawn with t reset."""
+        env = AcroEnv(pos_low=(-1, -1, 0.5), pos_high=(1, 1, 1.5))
+        world = env.default_world()
+        state, obs = vector_reset(env, jax.random.key(1), 16, world)
+
+        def policy(o):
+            return jnp.full((o.shape[0], 4), 0.0).at[:, 3].set(-1.0)
+
+        state, world, rewards, dones = rollout(env, state, world, policy, 120)
+        assert np.asarray(dones).any(), "low spawns at idle throttle must crash"
+        # after auto-reset all envs are alive again
+        assert not np.asarray(state.drone.done).any()
+        assert np.isfinite(np.asarray(state.drone.pos)).all()
+
+    def test_domain_randomization_varies(self):
+        env = AcroEnv(randomize=True)
+        state, _ = vector_reset(env, jax.random.key(2), 64)
+        ms = np.asarray(state.domain_rand.mass_scale)
+        assert ms.std() > 0.01
+        assert (ms >= 0.8).all() and (ms <= 1.2).all()
+
+
+class TestBallEnv:
+    def test_propnav_approaches_diagonal_optimum(self):
+        """The reference's range-only agent (find_by_distance.py:43-69) emits
+        the SAME scalar on both axes, so its positions stay on the diagonal
+        line through the start — the best it can do is the distance from the
+        goal to that line. Check it gets close to that bound."""
+        env = BallEnv(auto_reset=False, dtype=jnp.float64)
+        agent = ProportionalNavigation()
+        close = 0
+        for i in range(10):
+            key = jax.random.key(i)
+            state, obs = env.reset(key)
+            start = np.asarray(state.pos)
+            goal = np.asarray(state.goal)
+            # distance from goal to the line start + t·(1,1)/√2
+            d = goal - start
+            line_dist = abs(d[0] - d[1]) / np.sqrt(2.0)
+            astate = agent.init((), jnp.float64)
+            min_obs = float(obs)
+            for t in range(400):
+                key, ka = jax.random.split(key)
+                astate, action = agent.act(astate, obs, ka)
+                state, obs, r, done, _ = env.step(state, 0.05 * action)
+                min_obs = min(min_obs, float(obs))
+                if bool(done):
+                    break
+            if min_obs <= line_dist + 0.2:
+                close += 1
+        assert close >= 8, f"prop-nav approached its optimum only {close}/10 times"
+
+
+class TestGridEnv:
+    def test_reaches_goal_with_oracle_policy(self):
+        env = MaComGridEnv(map_size=5, auto_reset=False)
+        state, obs = env.reset(jax.random.key(0))
+        for _ in range(20):
+            # oracle policy: move along the row/col difference (torus-aware)
+            diff = (np.asarray(state.goal_rc) - np.asarray(state.agent_rc)) % 5
+            if diff[0] != 0:
+                mv = 1 if diff[0] <= 2 else 2
+            elif diff[1] != 0:
+                mv = 3 if diff[1] <= 2 else 4
+            else:
+                mv = 0
+            state, obs, r, done, _ = env.step(
+                state, {"Instructor": jnp.zeros(2), "Apprentice": jnp.asarray(mv)})
+            if bool(done):
+                break
+        assert bool(state.done)
+
+    def test_obs_board_difference(self):
+        env = MaComGridEnv(map_size=3, auto_reset=False)
+        state, obs = env.reset(jax.random.key(1))
+        board = obs["Instructor"]
+        assert board.shape == (3, 3)
+        # one-hot difference sums to 0 when distinct cells, 0 when same cell
+        assert float(jnp.sum(board)) in (0.0,)
+
+
+class TestTargetMotion:
+    def test_update_targets_circular(self):
+        env = AcroEnv()
+        w = env.default_world()
+        c0 = np.asarray(w.sphere_center[0])
+        w = update_targets(w)
+        c1 = np.asarray(w.sphere_center[0])
+        # first update jumps onto the circle at angle 0 (reference behavior)
+        np.testing.assert_allclose(
+            c1, np.asarray(w.sphere_path_center[0]) + np.array([25.0, 0, 0]),
+            atol=1e-5)
+        w2 = w
+        for _ in range(10):
+            w2 = update_targets(w2)
+        c11 = np.asarray(w2.sphere_center[0])
+        assert not np.allclose(c1, c11)
+        # stays on the circle
+        r = np.linalg.norm((c11 - np.asarray(w.sphere_path_center[0]))[:2])
+        np.testing.assert_allclose(r, 25.0, rtol=1e-5)
