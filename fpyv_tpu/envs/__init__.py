@@ -18,3 +18,4 @@ from fpyv_tpu.envs.rotate import RotateEnv  # noqa: F401
 from fpyv_tpu.envs.acro import AcroEnv  # noqa: F401
 from fpyv_tpu.envs.ball import BallEnv  # noqa: F401
 from fpyv_tpu.envs.gridworld import MaComGridEnv  # noqa: F401
+from fpyv_tpu.envs.vision_acro import VisionAcroEnv  # noqa: F401

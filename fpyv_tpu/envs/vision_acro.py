@@ -1,0 +1,89 @@
+"""Vision-based acro env: depth-image pixel observations for RL.
+
+BASELINE config #4: "camera-projection pixel observations (gate/track
+markers) for vision-based RL". Wraps :class:`fpyv_tpu.envs.acro.AcroEnv`
+with the FPV camera rig rendering inside the jitted step — the analog of
+the reference's dim==2 loop (simulator.py:115-168: render_depth_image of
+the world + the chased target, HUD aside).
+
+The default rig renders at reduced resolution (96x72): the reference's
+640x480 is a display choice, not an RL requirement, and scatter cost is
+per-point while image memory is per-pixel — at 4096 envs a full-res uint8
+frame bank alone is 1.2 GB/step. FOV/pitch/mount match params.yaml so the
+geometry is identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fpyv_tpu.envs.acro import AcroEnv, AcroState
+from fpyv_tpu.physics.drone import DroneParams
+from fpyv_tpu.physics.world import World
+from fpyv_tpu.vision.camera import CameraRig, camera_pose
+from fpyv_tpu.vision.renderer import render_depth_image, target_pixel_centroid
+from fpyv_tpu.world.generators import WorldSpec, build_world
+from fpyv_tpu.world.render_bank import RenderBank, build_render_bank
+
+
+def default_vision_rig() -> CameraRig:
+    return CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
+                     fov_deg=120.0, resolution=(96, 72))
+
+
+@dataclass(frozen=True)
+class VisionAcroEnv:
+    """Acro env whose observation is {pixels, imu} instead of ground truth."""
+
+    acro: AcroEnv = field(default_factory=AcroEnv)
+    rig: CameraRig = field(default_factory=default_vision_rig)
+    max_depth: float = 25.0  # simulator.py:121's render_depth_image max_depth
+
+    @property
+    def params(self) -> DroneParams:
+        return self.acro.params
+
+    def make_world(self, spec: Optional[WorldSpec] = None,
+                   seed: int = 0) -> Tuple[World, RenderBank]:
+        if spec is None:
+            from fpyv_tpu.config import FpyvConfig
+
+            spec = WorldSpec.from_config(FpyvConfig().simulator, seed=seed)
+        return build_world(spec, dtype=self.acro.dtype), build_render_bank(spec)
+
+    def _render(self, state: AcroState, world: World, bank: RenderBank):
+        from fpyv_tpu.physics.drone import _att_to_rotmat
+
+        R = _att_to_rotmat(self.params, state.drone.att)
+        cam_pos, cam_R = camera_pose(self.rig, state.drone.pos, R)
+        return render_depth_image(self.rig, cam_pos, cam_R, bank, world=world,
+                                  max_depth=self.max_depth)
+
+    def _obs(self, state: AcroState, world: World, bank: RenderBank):
+        img = self._render(state, world, bank)
+        return {
+            "pixels": img.astype(self.acro.dtype) / 255.0,
+            "rates": state.drone.rates / self.params.max_rates,
+            "accel_z": state.drone.accel[..., 2:3] / 30.0,
+            "thrust": state.drone.thrust[..., None]
+            / self.params.thrust_curve.max_force,
+        }
+
+    def reset(self, key, world: World, bank: RenderBank):
+        state, _ = self.acro.reset(key, world)
+        return state, self._obs(state, world, bank)
+
+    def step(self, state: AcroState, action, world: World, bank: RenderBank,
+             wind=None):
+        state, _, reward, done, info = self.acro.step(state, action, world, wind)
+        obs = self._obs(state, world, bank)
+        # target pixel info (the reference's chase loop extracts the centroid
+        # of the target's depth image, simulator.py:103-107)
+        centroid, found = target_pixel_centroid(
+            (obs["pixels"] * 255.0).astype(jnp.uint8))
+        info = dict(info, target_pixel=centroid, target_visible=found)
+        return state, obs, reward, done, info

@@ -1,0 +1,183 @@
+"""TPU depth renderer: vectorized projection + scatter-min z-buffer.
+
+Replaces the reference's per-point Python z-buffer loop
+(components.py:614-629, identified in SURVEY.md §3.3 as the hottest code)
+with one fused program:
+
+1. object pruning (components.py:585-600) becomes a per-object mask: project
+   the 8 AABB corners, keep objects with any corner in front of the camera
+   AND a 2D bbox overlapping the frame (``all(max_p > 0) and
+   all(min_p < resolution)`` on int-truncated pixels — exact semantics);
+2. all bank points project in one matmul-free einsum chain; pixel ids
+   truncate toward zero like the reference's ``astype(int)``;
+3. nearest-z wins via ``.at[linear_idx].min(depth, mode='drop')`` —
+   out-of-frame / masked points get an out-of-range index and drop;
+4. empty pixels -> max_depth; output ``255·(1 - z/max_depth)`` uint8
+   (components.py:626-628).
+
+Everything batches over leading camera-pose dims (the env axis) and runs
+inside jit; for RL pixel observations use a reduced-resolution rig — the
+scatter cost scales with points, not pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fpyv_tpu.physics.world import World
+from fpyv_tpu.vision.camera import CameraRig
+from fpyv_tpu.world.render_bank import RenderBank
+
+_PREC = "highest"
+
+
+def _object_positions(bank: RenderBank, world: Optional[World], dtype):
+    """(O, 3) dynamic object offsets: sphere centers from the physics world,
+    zero for objects whose points are baked absolute."""
+    if world is None or not bank.obj_is_sphere.any():
+        return jnp.zeros((bank.num_objects, 3), dtype)
+    centers = world.sphere_center[..., jnp.asarray(bank.obj_sphere_idx), :]
+    mask = jnp.asarray(bank.obj_is_sphere)[..., None]
+    return jnp.where(mask, centers.astype(dtype), 0.0)
+
+
+def _project(cam_pos, cam_R, K, points):
+    """points (..., P, 3) -> float pixels u,v and depth (..., P).
+    ``K @ inv([R|t; 0 1]) @ p`` without the 4x4 inverse: p_cam = Rᵀ(p - t)."""
+    rel = points - cam_pos[..., None, :]
+    p_cam = jnp.einsum("...ij,...pi->...pj", cam_R, rel, precision=_PREC)
+    h = jnp.einsum("ij,...pj->...pi", K, p_cam, precision=_PREC)
+    depth = h[..., 2]
+    safe = jnp.where(jnp.abs(depth) > 1e-20, depth, 1e-20)
+    return h[..., 0] / safe, h[..., 1] / safe, depth
+
+
+def prune_objects(rig: CameraRig, cam_pos, cam_R, bbox_world):
+    """Per-object keep mask. Parity: components.py:585-600.
+
+    bbox_world: (..., O, 8, 3). Returns (..., O) bool.
+    """
+    W, H = rig.resolution
+    K = jnp.asarray(rig.K, cam_pos.dtype)
+    O = bbox_world.shape[-3]
+    flat = bbox_world.reshape(bbox_world.shape[:-3] + (O * 8, 3))
+    u, v, depth = _project(cam_pos, cam_R, K, flat)
+    u = jnp.trunc(u).reshape(depth.shape[:-1] + (O, 8))
+    v = jnp.trunc(v).reshape(depth.shape[:-1] + (O, 8))
+    front = (depth > 0).reshape(depth.shape[:-1] + (O, 8))
+    any_front = jnp.any(front, axis=-1)
+    big = jnp.asarray(jnp.inf, u.dtype)
+    min_u = jnp.min(jnp.where(front, u, big), axis=-1)
+    min_v = jnp.min(jnp.where(front, v, big), axis=-1)
+    max_u = jnp.max(jnp.where(front, u, -big), axis=-1)
+    max_v = jnp.max(jnp.where(front, v, -big), axis=-1)
+    overlap = (max_u > 0) & (max_v > 0) & (min_u < W) & (min_v < H)
+    return any_front & overlap
+
+
+def _splat_min(rig: CameraRig, u, v, depth, valid):
+    """Nearest-z scatter into the (H, W) buffer; invalid points drop."""
+    W, H = rig.resolution
+    ui = jnp.trunc(u).astype(jnp.int32)
+    vi = jnp.trunc(v).astype(jnp.int32)
+    in_frame = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    ok = valid & in_frame & (depth > 0)
+    idx = jnp.where(ok, vi * W + ui, H * W)  # H*W -> dropped
+    buf = jnp.full(depth.shape[:-1] + (H * W,), jnp.inf, depth.dtype)
+    buf = _batched_min(buf, idx, depth)
+    return buf.reshape(depth.shape[:-1] + (H, W))
+
+
+def _batched_min(buf, idx, depth):
+    """Per-batch scatter-min (leading dims vmapped by construction)."""
+    import jax
+
+    flat_b = buf.reshape((-1,) + buf.shape[-1:])
+    flat_i = idx.reshape((-1,) + idx.shape[-1:])
+    flat_d = depth.reshape((-1,) + depth.shape[-1:])
+    out = jax.vmap(lambda b, i, d: b.at[i].min(d, mode="drop"))(
+        flat_b, flat_i, flat_d)
+    return out.reshape(buf.shape)
+
+
+def render_depth_image(
+    rig: CameraRig,
+    cam_pos: jnp.ndarray,  # (..., 3)
+    cam_R: jnp.ndarray,  # (..., 3, 3)
+    bank: RenderBank,
+    world: Optional[World] = None,  # for moving-sphere positions
+    max_depth: float = 10.0,
+    obj_active: Optional[jnp.ndarray] = None,  # (O,) bool extra mask
+    prune: bool = True,
+) -> jnp.ndarray:
+    """uint8 depth image(s) (..., H, W). Parity: components.py:614-629."""
+    dtype = cam_pos.dtype
+    base = jnp.asarray(bank.base_points, dtype)
+    point_obj = jnp.asarray(bank.point_obj)
+    obj_pos = _object_positions(bank, world, dtype)  # (O, 3)
+    points = base + obj_pos[point_obj]  # (P, 3) or (..., P, 3)
+
+    keep = jnp.ones((bank.num_objects,), bool)
+    if obj_active is not None:
+        keep = keep & obj_active
+    if prune:
+        bbox_world = jnp.asarray(bank.bbox_base, dtype) + obj_pos[..., :, None, :]
+        keep = keep & prune_objects(rig, cam_pos, cam_R, bbox_world)
+
+    K = jnp.asarray(rig.K, dtype)
+    u, v, depth = _project(cam_pos, cam_R, K, points)
+    valid = keep[..., point_obj]
+    img = _splat_min(rig, u, v, depth, valid)
+
+    img = jnp.minimum(img, max_depth)  # clip + empty(inf)->max_depth in one
+    return (255.0 * (1.0 - img / max_depth)).astype(jnp.uint8)
+
+
+def render_binary_image(
+    rig: CameraRig,
+    cam_pos: jnp.ndarray,
+    cam_R: jnp.ndarray,
+    bank: RenderBank,
+    world: Optional[World] = None,
+    obj_active: Optional[jnp.ndarray] = None,
+    prune: bool = True,
+) -> jnp.ndarray:
+    """Binary hit image (..., H, W) float32 {0, 1}. Parity: components.py:602-612."""
+    dtype = cam_pos.dtype
+    base = jnp.asarray(bank.base_points, dtype)
+    point_obj = jnp.asarray(bank.point_obj)
+    obj_pos = _object_positions(bank, world, dtype)
+    points = base + obj_pos[point_obj]
+
+    keep = jnp.ones((bank.num_objects,), bool)
+    if obj_active is not None:
+        keep = keep & obj_active
+    if prune:
+        bbox_world = jnp.asarray(bank.bbox_base, dtype) + obj_pos[..., :, None, :]
+        keep = keep & prune_objects(rig, cam_pos, cam_R, bbox_world)
+
+    K = jnp.asarray(rig.K, dtype)
+    u, v, depth = _project(cam_pos, cam_R, K, points)
+    valid = keep[..., point_obj]
+    img = _splat_min(rig, u, v, depth, valid)
+    return (jnp.isfinite(img)).astype(jnp.float32)
+
+
+def target_pixel_centroid(depth_img: jnp.ndarray):
+    """Mean (u, v) of lit pixels — the reference's target-pixel extraction
+    (simulator.py:103-107: ``np.where(img > 0).mean`` with [v,u] -> [u,v]).
+
+    Returns ((..., 2) float centroid, (...,) bool found).
+    """
+    lit = depth_img > 0
+    H, W = depth_img.shape[-2:]
+    vs = jnp.arange(H, dtype=jnp.float32)[:, None]
+    us = jnp.arange(W, dtype=jnp.float32)[None, :]
+    count = jnp.sum(lit, axis=(-2, -1))
+    safe = jnp.maximum(count, 1)
+    u_mean = jnp.sum(lit * us, axis=(-2, -1)) / safe
+    v_mean = jnp.sum(lit * vs, axis=(-2, -1)) / safe
+    return jnp.stack([u_mean, v_mean], axis=-1), count > 0

@@ -1,0 +1,166 @@
+"""Guidance-autopilot parity: needed-force-orientation vs oracle, and the
+full guided-chase closed loop (simulator.py:102-110's pipeline)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fpyv_tpu.config import FpyvConfig
+from fpyv_tpu.control.guidance import (
+    GuidanceParams,
+    guidance_init,
+    needed_force_orientation,
+    point_and_shoot,
+)
+from fpyv_tpu.physics.drone import DroneParams, drone_reset, drone_step
+from fpyv_tpu.physics.world import empty_world
+from fpyv_tpu.vision.camera import CameraRig, camera_pose
+from tools.oracle.sim import OracleDrone, OracleGround, OracleTarget
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return FpyvConfig()
+
+
+def full_rig():
+    return CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
+                     fov_deg=120.0, resolution=(640, 480))
+
+
+class TestNeededForceOrientation:
+    def test_sequence_matches_oracle(self, cfg):
+        params = DroneParams.from_config(cfg)
+        g = GuidanceParams.from_config(cfg, params)
+        rig = full_rig()
+        oracle = OracleDrone(cfg)
+        oracle.reset([0, 0, 10.0], [1.0, 0.5, -0.2], [0, 0, 0])
+
+        gs = guidance_init((), jnp.float64)
+        rng = np.random.default_rng(0)
+        pos = jnp.asarray(oracle.pos)
+        vel = jnp.asarray(oracle.vel)
+        R = jnp.asarray(oracle.R)
+        cam_pos, cam_R = camera_pose(rig, pos, R)
+
+        for step in range(50):
+            pixel = rng.uniform([0, 0], [640, 480])
+            dist = rng.uniform(2.0, 20.0)
+            R_ref, f_ref = oracle.calculate_needed_force_orientation(pixel, dist)
+            gs, R_jax, f_jax = needed_force_orientation(
+                g, gs, rig, cam_R, jnp.asarray(pixel), pos, vel,
+                jnp.float64(dist), params.mass)
+            np.testing.assert_allclose(np.asarray(R_jax), R_ref, atol=1e-10,
+                                       err_msg=f"step {step}")
+            np.testing.assert_allclose(float(f_jax), f_ref, atol=1e-10)
+
+    def test_desired_attitude_is_rotation(self, cfg):
+        params = DroneParams.from_config(cfg)
+        g = GuidanceParams.from_config(cfg, params)
+        rig = full_rig()
+        gs = guidance_init((), jnp.float64)
+        pos = jnp.asarray([0.0, 0.0, 5.0])
+        vel = jnp.asarray([2.0, -1.0, 0.3])
+        cam_pos, cam_R = camera_pose(rig, pos, jnp.eye(3, dtype=jnp.float64))
+        gs, R, f = needed_force_orientation(
+            g, gs, rig, cam_R, jnp.asarray([320.0, 240.0]), pos, vel,
+            jnp.float64(8.0), params.mass)
+        RtR = np.asarray(R).T @ np.asarray(R)
+        np.testing.assert_allclose(RtR, np.eye(3), atol=1e-8)
+        assert float(f) > 0
+
+
+class TestGuidedChaseClosedLoop:
+    def test_oracle_vs_jax_full_pipeline(self, cfg):
+        """Both sides: guidance computes (R*, |F|) from the true target
+        bearing; drone_step applies it via the override path. 120 steps."""
+        params = DroneParams.from_config(cfg)
+        g = GuidanceParams.from_config(cfg, params)
+        rig = full_rig()
+
+        target_pos = np.array([12.0, 3.0, 6.0])
+        target_radius = 1.0
+
+        # oracle side
+        oracle = OracleDrone(cfg)
+        oracle.reset([0, 0, 10.0], [1.0, 0.0, 0.0], [0, 0, 0])
+        o_target = OracleTarget(target_pos, target_radius)
+        o_objs = [o_target, OracleGround()]
+
+        # jax side
+        world = empty_world(n_spheres=1, ground=True, dtype=jnp.float64)
+        world = world.replace(
+            sphere_center=jnp.asarray(target_pos)[None],
+            sphere_radius=jnp.asarray([target_radius]))
+        state = drone_reset(params, jnp.asarray([0.0, 0.0, 10.0]),
+                            jnp.asarray([1.0, 0.0, 0.0]), jnp.zeros(3))
+        gs = guidance_init((), jnp.float64)
+
+        action = np.array([0.0, 0.0, 0.0, 0.0])
+        wind = np.zeros(3)
+
+        def project_target(camera_R, camera_pos_):
+            """True target pixel via the oracle projection (both sides use
+            the same pixel to isolate guidance+physics parity)."""
+            oracle.camera.position = np.asarray(camera_pos_)
+            oracle.camera.R = np.asarray(camera_R)
+            px, depth = oracle.camera.project_points(target_pos[None])
+            return px[0].astype(np.float64) if len(px) else None
+
+        for t in range(120):
+            # oracle
+            oracle.camera.update(oracle.pos, oracle.R)
+            px_ref = project_target(oracle.camera.R, oracle.camera.position)
+            if px_ref is None:
+                break
+            dist_ref = o_target.distance(oracle.pos)
+            R_ref, f_ref = oracle.calculate_needed_force_orientation(
+                px_ref, dist_ref)
+            oracle.step(action, wind, o_objs, R_override=R_ref,
+                        thrust_override=f_ref)
+
+            # jax — same pixel
+            cam_pos, cam_R = camera_pose(rig, state.pos, state.att)
+            dist = jnp.linalg.norm(world.sphere_center[0] - state.pos) - target_radius
+            gs, R_des, f_des = needed_force_orientation(
+                g, gs, rig, cam_R, jnp.asarray(px_ref), state.pos, state.vel,
+                dist, params.mass)
+            state, _ = drone_step(params, state, jnp.asarray(action), world,
+                                  jnp.asarray(wind), att_override=R_des,
+                                  thrust_override=f_des)
+
+            np.testing.assert_allclose(np.asarray(state.pos), oracle.pos,
+                                       atol=1e-6, err_msg=f"step {t}")
+            if oracle.done:
+                break
+
+        assert t > 20, "chase should run for a while before any crash"
+        # the chase must have moved the drone toward the target
+        final_dist = np.linalg.norm(oracle.pos - target_pos)
+        assert final_dist < np.linalg.norm([12.0, 3.0, 4.0])
+
+
+class TestPointAndShoot:
+    def test_runs_and_saturates(self, cfg):
+        params = DroneParams.from_config(cfg)
+        g = GuidanceParams.from_config(cfg, params)
+        rig = full_rig()
+        gs = guidance_init((), jnp.float64)
+        pos = jnp.asarray([0.0, 0.0, 5.0])
+        vel = jnp.asarray([1.0, 0.0, 0.0])
+        cam_pos, cam_R = camera_pose(rig, pos, jnp.eye(3, dtype=jnp.float64))
+        max_f = params.thrust_curve.max_force
+        gs, R, f = point_and_shoot(
+            g, gs, rig, cam_R, jnp.asarray([320.0, 240.0]),
+            jnp.asarray([0.0, -0.5, -0.5, -0.1]), pos, vel,
+            params.mass, max_f, params.dt)
+        assert float(f) <= max_f * 1.05
+        RtR = np.asarray(R).T @ np.asarray(R)
+        np.testing.assert_allclose(RtR, np.eye(3), atol=1e-8)
+        # second call: pixel velocity becomes non-trivial state
+        gs2, R2, f2 = point_and_shoot(
+            g, gs, rig, cam_R, jnp.asarray([300.0, 250.0]),
+            jnp.asarray([0.0, -0.5, -0.5, -0.1]), pos, vel,
+            params.mass, max_f, params.dt)
+        assert bool(gs2.has_prev)
+        assert np.any(np.asarray(gs2.pixel_velocity) != 0)

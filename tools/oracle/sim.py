@@ -227,10 +227,38 @@ class OracleCamera:
         d = self.R @ np.linalg.inv(self.K) @ ph
         return d / np.linalg.norm(d)
 
-    def render_depth_image(self, point_sets, max_depth=10.0):
+    @staticmethod
+    def bbox_corners(points):
+        """AABB corners in the reference ordering (helper_functions.py:120-136)."""
+        mn, mx = points.min(axis=0), points.max(axis=0)
+        box = np.zeros((8, 3))
+        box[:4, 0] = mn[0]
+        box[4:, 0] = mx[0]
+        box[::2, 1] = mn[1]
+        box[1::2, 1] = mx[1]
+        box[[0, 1, 4, 5], 2] = mn[2]
+        box[[2, 3, 6, 7], 2] = mx[2]
+        return box
+
+    def prune(self, point_sets):
+        """components.py:585-600: keep sets whose projected bbox has any
+        corner in front AND all(max_p > 0) and all(min_p < resolution)."""
+        kept = []
+        for pts in point_sets:
+            px, depth = self.project_points(self.bbox_corners(pts))
+            if len(px) == 0:
+                continue
+            min_p, max_p = px.min(axis=0), px.max(axis=0)
+            if np.all(max_p > 0) and np.all(min_p < self.resolution):
+                kept.append(pts)
+        return kept
+
+    def render_depth_image(self, point_sets, max_depth=10.0, prune=True):
         """Nearest-z point splat (components.py:614-629) over raw point arrays."""
         W, H = int(self.resolution[0]), int(self.resolution[1])
         img = np.zeros((H, W))
+        if prune:
+            point_sets = self.prune(point_sets)
         pts = np.vstack(point_sets) if point_sets else np.zeros((0, 3))
         if len(pts):
             px, depth = self.project_points(pts)
@@ -370,6 +398,35 @@ class OracleDrone:
         self.camera.update(self.pos, self.R)
         gyro = euler_to_R(*self.rates)  # deg/s-as-radians quirk (:247)
         return self.R.T, gyro, self.R @ self.accel
+
+    def calculate_needed_force_orientation(self, pixel, target_distance,
+                                           mode="level"):
+        """components.py:258-304, ref_frame='world'. `target_distance` is the
+        target SDF distance at the drone position (pre-UWB clamp)."""
+        cfg = self.cfg
+        pns = cfg.point_and_shoot
+        dir2target = self.camera.pixel2direction(pixel)
+        gravity = np.array([0.0, 0.0, -9.81 * self.mass])  # :270 pins g=9.81
+        vnorm = np.linalg.norm(self.vel)
+        vdot = (self.vel / vnorm) @ dir2target
+        virtual_drag = -(vdot - 1.0) / 2.0 * -self.vel * vnorm  # :272
+        vdrag_f = pns.virtual_drag_coefficient * virtual_drag
+        tof = pns.tof_effective_distance
+        vlift = ((self.pos[2] < tof) * -(tof - self.pos[2])
+                 * pns.virtual_lift_coefficient * gravity
+                 * (1.0 + abs(self.vel[2])))  # :286
+        measured = min(target_distance, cfg.drone.UWB_sensor_max_range)  # :287
+        mult = self.force_multiplier_pid(measured, cfg.drone.keep_distance)
+        mult = np.clip(mult, self.force_multiplier_pid.min_output,
+                       self.force_multiplier_pid.max_output)  # :290
+        force = mult * dir2target + vdrag_f + vlift - gravity  # :292
+        force_norm = np.linalg.norm(force)
+        second = gravity if mode == "level" else dir2target  # :294-299
+        y = np.cross(force, second)
+        x = np.cross(y, force)
+        R = np.stack([x, y, force], axis=1)  # :302
+        R = R / np.linalg.norm(R, axis=0)  # :303
+        return R, force_norm
 
 
 # --- rates controller (tests/rotation_pid.py:100-139) -----------------------
