@@ -1,0 +1,161 @@
+"""The interactive simulator app — the rebuild of src/core/simulator.py.
+
+Same loop shape (simulator.py:83-177): world build -> per-step target
+update -> render the chased target's depth image -> extract its pixel
+centroid -> pixel-guidance override -> physics step -> render. Differences
+by design: the physics+render step is one jitted function; rendering modes
+are 'none' (headless), '2d' (FPV depth + HUD via cv2 when available, else
+saved frames), '3d' (matplotlib world view); input is the native Linux
+joystick when present, else a scripted action (the reference's hard-coded
+``[-0.1, 0, 0, 0]``, simulator.py:89).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpyv_tpu.config import FpyvConfig
+from fpyv_tpu.control.guidance import (
+    GuidanceParams,
+    guidance_init,
+    needed_force_orientation,
+)
+from fpyv_tpu.physics.drone import DroneParams, _att_to_rotmat, drone_reset, drone_step
+from fpyv_tpu.physics.world import update_targets
+from fpyv_tpu.vision.camera import CameraRig, camera_pose
+from fpyv_tpu.vision.renderer import render_depth_image, target_pixel_centroid
+from fpyv_tpu.world.generators import WorldSpec, build_world
+from fpyv_tpu.world.render_bank import bank_subset, build_render_bank
+
+
+def run_simulator(
+    cfg: Optional[FpyvConfig] = None,
+    steps: int = 10000,
+    render: str = "none",  # 'none' | '2d' | '3d'
+    guided: bool = True,
+    use_joystick: bool = False,
+    seed: int = 0,
+    max_depth: float = 25.0,
+    frame_sink=None,  # callable(np.uint8 frame) for testing/recording
+) -> dict:
+    cfg = cfg or FpyvConfig()
+    params = DroneParams.from_config(cfg)
+    rig = CameraRig.from_config(cfg.camera)
+    g = GuidanceParams.from_config(cfg, params)
+
+    spec = WorldSpec.from_config(cfg.simulator, seed=seed)
+    world = build_world(spec)
+    bank = build_render_bank(spec, rng=np.random.default_rng(seed))
+    target_idx = 0  # simulator.py:55 target_chase_idx
+    target_bank = bank_subset(bank, [target_idx]) if spec.targets else None
+
+    state = drone_reset(
+        params,
+        jnp.asarray(cfg.drone.initial_position, jnp.float32),
+        jnp.asarray(cfg.drone.initial_velocity, jnp.float32),
+        jnp.asarray(cfg.drone.initial_orientation, jnp.float32),
+    )
+    gs = guidance_init((), jnp.float32)
+    wind = jnp.zeros(3, jnp.float32)
+
+    joystick = None
+    if use_joystick:
+        from fpyv_tpu.inputs.rc import Joystick
+
+        joystick = Joystick()
+        if joystick.status and cfg.drone.joystick_calib_path:
+            joystick.calibrate(cfg.drone.joystick_calib_path, True)
+        elif not joystick.status:
+            print("Joystick device was not found")  # components.py:80
+            joystick = None
+
+    @jax.jit
+    def sim_step(state, gs, world, action):
+        world = update_targets(world)
+        R = _att_to_rotmat(params, state.att)
+        cam_pos, cam_R = camera_pose(rig, state.pos, R)
+        if target_bank is not None and guided:
+            timg = render_depth_image(rig, cam_pos, cam_R, target_bank,
+                                      world=world, max_depth=max_depth)
+            pixel, found = target_pixel_centroid(timg)
+            dist = (jnp.linalg.norm(world.sphere_center[target_idx] - state.pos)
+                    - world.sphere_radius[target_idx])
+            gs2, R_des, f_des = needed_force_orientation(
+                g, gs, rig, cam_R, pixel, state.pos, state.vel, dist, params.mass)
+            # guidance only when the target is visible (simulator.py:104-110)
+            state_g, _ = drone_step(params, state, action, world, wind,
+                                    att_override=R_des, thrust_override=f_des)
+            state_f, _ = drone_step(params, state, action, world, wind)
+            from fpyv_tpu.envs.base import tree_where
+
+            state = tree_where(found, state_g, state_f)
+            gs = jax.tree.map(lambda a, b: jnp.where(found, a, b), gs2, gs)
+        else:
+            state, _ = drone_step(params, state, action, world, wind)
+        return state, gs, world
+
+    @jax.jit
+    def render_frame(state, world):
+        R = _att_to_rotmat(params, state.att)
+        cam_pos, cam_R = camera_pose(rig, state.pos, R)
+        return render_depth_image(rig, cam_pos, cam_R, bank, world=world,
+                                  max_depth=max_depth)
+
+    cv2 = None
+    if render == "2d":
+        try:
+            import cv2 as _cv2
+
+            cv2 = _cv2
+            cv2.namedWindow("img")
+        except Exception:
+            cv2 = None
+    ax = fig = None
+    if render == "3d":
+        from fpyv_tpu.viz.render3d import init_3d_axis
+
+        ax, fig = init_3d_axis()
+
+    t = 0
+    for t in range(steps):
+        if joystick is not None:
+            action = jnp.asarray(joystick.read_action(), jnp.float32)
+        else:
+            action = jnp.asarray([-0.1, 0.0, 0.0, 0.0], jnp.float32)  # :89
+        state, gs, world = sim_step(state, gs, world, action)
+        if bool(state.done):
+            print("Crashed")  # simulator.py:92
+            break
+        if render == "2d" and t % 2 == 0:  # :164
+            frame = np.asarray(render_frame(state, world))
+            from fpyv_tpu.viz.hud import hud_overlay
+
+            dist = float(np.linalg.norm(
+                np.asarray(world.sphere_center[target_idx]) - np.asarray(state.pos)))
+            frame = hud_overlay(frame, dist_to_target=dist,
+                                speed_ms=float(np.linalg.norm(np.asarray(state.vel))),
+                                height_m=float(state.pos[2]))
+            if frame_sink is not None:
+                frame_sink(frame)
+            if cv2 is not None:
+                cv2.imshow("img", frame)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+        elif render == "3d" and t % 3 == 0:  # :113
+            from fpyv_tpu.viz.render3d import render_drone, show_plot
+
+            ax.clear()
+            render_drone(ax, state, params)
+            show_plot(ax, fig, middle=np.asarray(state.pos), edge=5)
+
+    return {
+        "steps": t + 1,
+        "crashed": bool(state.done),
+        "final_position": np.asarray(state.pos),
+        "final_velocity": np.asarray(state.vel),
+    }

@@ -1,0 +1,115 @@
+"""PPO training app: rollouts on the env bank, learner updates, checkpoints.
+
+The greenfield trainer the BASELINE configs call for: vectorized acro (or
+rotate / multi-race) envs feed the PPO learner; on multi-device meshes the
+env bank shards over the 'env' axis and gradients all-reduce over ICI
+(fpyv_tpu.parallel). Checkpoints (orbax) capture the FULL state — params,
+optimizer, env bank, RNG keys — so runs resume deterministically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpyv_tpu.envs.acro import AcroEnv
+from fpyv_tpu.models.policy import ActorCritic
+from fpyv_tpu.physics.drone import DroneParams
+from fpyv_tpu.rl.ppo import PpoConfig, make_ppo
+from fpyv_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint, latest_step
+from fpyv_tpu.utils.metrics import MetricsLogger
+from fpyv_tpu.utils.profiling import Throughput
+
+
+@dataclass
+class TrainResult:
+    iterations: int
+    mean_reward_first: float
+    mean_reward_last: float
+    steps_per_second: float
+
+
+def train_acro(
+    num_envs: int = 4096,
+    num_iterations: int = 100,
+    num_steps: int = 32,
+    seed: int = 0,
+    distributed: bool = False,
+    log_dir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 50,
+    resume: bool = False,
+    randomize: bool = False,
+    hidden=(128, 128),
+    learning_rate: float = 3e-4,
+    print_every: int = 10,
+) -> TrainResult:
+    env = AcroEnv(params=DroneParams(att_mode="quat"), randomize=randomize)
+    world = env.default_world()
+    net = ActorCritic(action_dim=4, hidden=tuple(hidden))
+    config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
+                       learning_rate=learning_rate)
+
+    def env_step(env_state, action, key):
+        st, obs, reward, done, _ = jax.vmap(
+            lambda s, a: env.step(s, a, world))(env_state, action)
+        return st, obs, reward, done
+
+    key = jax.random.key(seed)
+    k_env, k_net, k_train = jax.random.split(key, 3)
+    env_keys = jax.random.split(k_env, num_envs)
+    env_state, obs = jax.vmap(lambda k: env.reset(k, world))(env_keys)
+    params = net.init(k_net, obs[:1])
+
+    if distributed:
+        from fpyv_tpu.parallel.mesh import make_mesh
+        from fpyv_tpu.parallel.train import make_distributed_ppo, shard_ppo_state
+
+        mesh = make_mesh()
+        init, train_iteration = make_distributed_ppo(
+            net.apply, env_step, config, mesh)
+        state = init(params, env_state, obs,
+                     jax.random.split(k_train, mesh.size))
+        state = shard_ppo_state(state, mesh)
+    else:
+        init, train_iteration = make_ppo(net.apply, env_step, config)
+        train_iteration = jax.jit(train_iteration)
+        state = init(params, env_state, obs, k_train)
+
+    start_iter = 0
+    if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
+        start_iter = latest_step(checkpoint_dir)
+        state = restore_checkpoint(checkpoint_dir, start_iter, template=state)
+        print(f"resumed from checkpoint at iteration {start_iter}")
+
+    logger = MetricsLogger(log_dir, print_every=print_every)
+    meter = Throughput()
+    first_reward = last_reward = float("nan")
+
+    for it in range(start_iter, start_iter + num_iterations):
+        state, info = train_iteration(state)
+        jax.block_until_ready(info["loss"])
+        reward = float(np.asarray(info["mean_reward"]))
+        if it == start_iter:
+            first_reward = reward
+            meter.reset()  # exclude the first iteration's jit compile
+        else:
+            meter.add(num_envs * num_steps)
+        last_reward = reward
+        logger.log(it, info)
+        if checkpoint_dir and (it + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, it + 1, state)
+
+    if checkpoint_dir:
+        save_checkpoint(checkpoint_dir, start_iter + num_iterations, state)
+    logger.close()
+    return TrainResult(
+        iterations=num_iterations,
+        mean_reward_first=first_reward,
+        mean_reward_last=last_reward,
+        steps_per_second=meter.rate(),
+    )

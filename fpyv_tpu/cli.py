@@ -1,0 +1,172 @@
+"""Command-line interface: simulate, train, bench, parity, hover-time.
+
+The reference has no CLI (entry points are `__main__` scripts with
+hard-coded Windows paths, e.g. simulator.py:9); this is the framework's
+front door:
+
+    python -m fpyv_tpu.cli sim --steps 600 --render none
+    python -m fpyv_tpu.cli train --num-envs 4096 --iterations 100
+    python -m fpyv_tpu.cli bench
+    python -m fpyv_tpu.cli parity --steps 300
+    python -m fpyv_tpu.cli hover-time --csv config.csv --dry-mass 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_sim(args):
+    from fpyv_tpu.apps.simulator import run_simulator
+    from fpyv_tpu.config import FpyvConfig
+
+    cfg = FpyvConfig.from_yaml(args.params) if args.params else FpyvConfig()
+    out = run_simulator(cfg, steps=args.steps, render=args.render,
+                        guided=not args.no_guidance,
+                        use_joystick=args.joystick, seed=args.seed)
+    print(json.dumps({k: (v.tolist() if hasattr(v, "tolist") else v)
+                      for k, v in out.items()}))
+
+
+def _cmd_train(args):
+    from fpyv_tpu.apps.train import train_acro
+
+    res = train_acro(
+        num_envs=args.num_envs, num_iterations=args.iterations,
+        num_steps=args.num_steps, seed=args.seed,
+        distributed=args.distributed, log_dir=args.log_dir,
+        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        randomize=args.randomize,
+    )
+    print(json.dumps({
+        "iterations": res.iterations,
+        "mean_reward_first": res.mean_reward_first,
+        "mean_reward_last": res.mean_reward_last,
+        "env_steps_per_second": res.steps_per_second,
+    }))
+
+
+def _cmd_bench(args):
+    import runpy
+    from pathlib import Path
+
+    bench = Path(__file__).resolve().parents[1] / "bench.py"
+    runpy.run_path(str(bench), run_name="__main__")
+
+
+def _cmd_parity(args):
+    """Fixed-seed trajectory check: jax (x64) vs the NumPy oracle."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fpyv_tpu.config import FpyvConfig
+    from fpyv_tpu.physics.drone import DroneParams, drone_reset, drone_step
+    from fpyv_tpu.physics.world import empty_world
+    from tools.oracle.sim import OracleDrone, OracleGround
+
+    cfg = FpyvConfig.from_yaml(args.params) if args.params else FpyvConfig()
+    rng = np.random.default_rng(args.seed)
+    actions = rng.uniform(-1, 1, (args.steps, 4)) * np.array([0.3, 0.3, 0.2, 1.0])
+    actions[:, 3] = rng.uniform(-0.6, 0.3, args.steps)
+
+    oracle = OracleDrone(cfg)
+    oracle.reset(cfg.drone.initial_position, cfg.drone.initial_velocity,
+                 cfg.drone.initial_orientation)
+    objs = [OracleGround()]
+    params = DroneParams.from_config(cfg)
+    world = empty_world(ground=True, dtype=jnp.float64)
+    state = drone_reset(params,
+                        jnp.asarray(cfg.drone.initial_position, jnp.float64),
+                        jnp.asarray(cfg.drone.initial_velocity, jnp.float64),
+                        jnp.asarray(cfg.drone.initial_orientation, jnp.float64))
+    max_pos_err = max_att_err = 0.0
+    wind = np.zeros(3)
+    for a in actions:
+        oracle.step(a, wind, objs)
+        state, _ = drone_step(params, state, jnp.asarray(a), world,
+                              jnp.asarray(wind))
+        max_pos_err = max(max_pos_err,
+                          float(np.abs(np.asarray(state.pos) - oracle.pos).max()))
+        max_att_err = max(max_att_err,
+                          float(np.abs(np.asarray(state.att) - oracle.R).max()))
+        if oracle.done:
+            break
+    print(json.dumps({
+        "steps": int(args.steps),
+        "max_position_error": max_pos_err,
+        "max_attitude_error": max_att_err,
+        "pass": max_pos_err < 1e-8 and max_att_err < 1e-8,
+    }))
+
+
+def _cmd_hover_time(args):
+    from fpyv_tpu.io.motor_csv import read_motor_test_report
+    from fpyv_tpu.physics.motor import Battery, check_battery_cells, max_hover_time
+
+    block = read_motor_test_report(args.csv)[args.idx]
+    battery = Battery(cells=args.cells, capacity_mah=args.capacity,
+                      mass_g=args.battery_mass)
+    cells = check_battery_cells(block.voltage)
+    minutes = max_hover_time(args.dry_mass, battery, block.thrust_g,
+                             block.power, args.motor_mass)
+    print(json.dumps({
+        "motor": block.motor_name, "propeller": block.propeller,
+        "detected_cells": cells, "max_hover_time_minutes": minutes,
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="fpyv_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("sim", help="run the interactive simulator")
+    sp.add_argument("--params", default=None, help="params.yaml path")
+    sp.add_argument("--steps", type=int, default=10000)
+    sp.add_argument("--render", choices=["none", "2d", "3d"], default="none")
+    sp.add_argument("--no-guidance", action="store_true")
+    sp.add_argument("--joystick", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=_cmd_sim)
+
+    tp = sub.add_parser("train", help="PPO training on the acro env")
+    tp.add_argument("--num-envs", type=int, default=4096)
+    tp.add_argument("--iterations", type=int, default=100)
+    tp.add_argument("--num-steps", type=int, default=32)
+    tp.add_argument("--seed", type=int, default=0)
+    tp.add_argument("--distributed", action="store_true")
+    tp.add_argument("--randomize", action="store_true")
+    tp.add_argument("--log-dir", default=None)
+    tp.add_argument("--checkpoint-dir", default=None)
+    tp.add_argument("--resume", action="store_true")
+    tp.set_defaults(fn=_cmd_train)
+
+    bp = sub.add_parser("bench", help="run the headline benchmark")
+    bp.set_defaults(fn=_cmd_bench)
+
+    pp = sub.add_parser("parity", help="fixed-seed trajectory check vs oracle")
+    pp.add_argument("--params", default=None)
+    pp.add_argument("--steps", type=int, default=300)
+    pp.add_argument("--seed", type=int, default=42)
+    pp.set_defaults(fn=_cmd_parity)
+
+    hp = sub.add_parser("hover-time", help="max hover time from a motor CSV")
+    hp.add_argument("--csv", required=True)
+    hp.add_argument("--idx", type=int, default=0)
+    hp.add_argument("--dry-mass", type=float, default=100.0)
+    hp.add_argument("--cells", type=int, default=6)
+    hp.add_argument("--capacity", type=float, default=3000.0)
+    hp.add_argument("--battery-mass", type=float, default=304.2)
+    hp.add_argument("--motor-mass", type=float, default=19.7)
+    hp.set_defaults(fn=_cmd_hover_time)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Multi-agent drone race env: A drones per world racing a gate track.
+
+BASELINE config #5: "multi-agent race env (ma_com scale-up) sharded across
+>=2 hosts feeding PPO learner". The reference's only multi-agent artifact is
+the toy 2-agent gridworld (tests/ma_com_simple_env.py, ported in
+fpyv_tpu.envs.gridworld); this env is its scale-up onto the full drone
+physics: A agents share one gate track (fpyv_tpu.world.generators
+generate_track layout), race through gates in order, and see each other.
+
+Gate-passing rule: an agent passes its next gate when the signed distance to
+the gate plane (normal = R[:,0], components.py:811-822) crosses from
+negative to positive between consecutive steps while the crossing point is
+within the gate's half-size laterally. Rewards: gate bonus + progress toward
+the next gate + alive bonus - crash penalty - proximity penalty between
+agents (inter-agent contact = crash for both, the vectorized analog of
+motor-point collisions between airframes).
+
+Per-env state batches over A agents; the whole env vmaps over thousands of
+race instances and shards over the mesh env axis like any other env.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from fpyv_tpu.envs.base import tree_where
+from fpyv_tpu.ops import rotations as rot
+from fpyv_tpu.physics.drone import (
+    DroneParams,
+    DroneState,
+    drone_reset,
+    drone_step,
+)
+from fpyv_tpu.physics.world import World, empty_world
+
+
+@struct.dataclass
+class MultiRaceState:
+    drones: DroneState  # fields have leading dim (..., A)
+    next_gate: jnp.ndarray  # (..., A) int32
+    prev_gate_dist: jnp.ndarray  # (..., A) signed plane distance to next gate
+    gates_passed: jnp.ndarray  # (..., A) int32 total
+    t: jnp.ndarray  # (...,) int32
+    key: jnp.ndarray
+    episode_return: jnp.ndarray  # (..., A)
+
+
+@dataclass(frozen=True)
+class MultiRaceEnv:
+    params: DroneParams = field(default_factory=lambda: DroneParams(att_mode="quat"))
+    n_agents: int = 4
+    n_gates: int = 6
+    track_radius: float = 12.0
+    gate_size: float = 5.0
+    gate_height: float = 3.0
+    spawn_radius: float = 2.0
+    spawn_height: float = 3.0
+    agent_collision_radius: float = 0.35  # ~2 arm radii
+    max_episode_steps: int = 2000
+    # reward weights
+    w_gate: float = 10.0
+    w_progress: float = 1.0
+    w_alive: float = 0.005
+    w_crash: float = 10.0
+    dtype: type = jnp.float32
+
+    # ---- track ------------------------------------------------------------
+
+    def default_world(self) -> World:
+        """A clean circular track (no generator quirks: gates actually on the
+        circle at gate_size size — the raceable layout)."""
+        import numpy as np
+
+        theta = np.linspace(0, 2 * np.pi, self.n_gates + 1)[:-1]
+        pos = np.stack(
+            [np.cos(theta) * self.track_radius,
+             np.sin(theta) * self.track_radius,
+             np.full_like(theta, self.gate_height)], axis=-1)
+        rots = np.stack([
+            np.array([[np.cos(t + np.pi / 2), -np.sin(t + np.pi / 2), 0],
+                      [np.sin(t + np.pi / 2), np.cos(t + np.pi / 2), 0],
+                      [0, 0, 1.0]]) for t in theta], axis=0)
+        w = empty_world(n_spheres=0, n_cylinders=0, n_gates=self.n_gates,
+                        ground=True, dtype=self.dtype)
+        return w.replace(
+            gate_pos=jnp.asarray(pos, self.dtype),
+            gate_rotmat=jnp.asarray(rots, self.dtype),
+            gate_size=jnp.full((self.n_gates,), self.gate_size, self.dtype),
+        )
+
+    # ---- helpers ----------------------------------------------------------
+
+    def _gate_info(self, world: World, next_gate, pos):
+        """(signed plane distance, lateral offset, vector to gate center)."""
+        gp = world.gate_pos[next_gate]  # (..., A, 3)
+        gR = world.gate_rotmat[next_gate]  # (..., A, 3, 3)
+        rel = pos - gp
+        normal = gR[..., :, 0]
+        plane_d = jnp.sum(rel * normal, axis=-1)
+        lateral = jnp.linalg.norm(
+            rel - plane_d[..., None] * normal, axis=-1)
+        return plane_d, lateral, gp - pos
+
+    def _obs(self, state: MultiRaceState, world: World):
+        d = state.drones
+        att_flat = d.att  # quat (A, 4) (or rotmat flattened below)
+        if self.params.att_mode == "rotmat":
+            att_flat = d.att.reshape(d.att.shape[:-2] + (9,))
+        plane_d, lateral, to_gate = self._gate_info(world, state.next_gate, d.pos)
+        # relative positions of the other agents: (A, A, 3) -> drop self via a
+        # static gather (boolean masks don't survive vmap tracing)
+        import numpy as np
+
+        rel_all = d.pos[..., None, :, :] - d.pos[..., :, None, :]
+        A = self.n_agents
+        idx = np.stack([[j for j in range(A) if j != i] for i in range(A)])
+        others = rel_all[..., np.arange(A)[:, None], idx, :].reshape(
+            rel_all.shape[:-3] + (A, (A - 1) * 3))
+        return jnp.concatenate(
+            [
+                d.pos, d.vel, att_flat,
+                d.rates / self.params.max_rates,
+                d.thrust[..., None] / self.params.thrust_curve.max_force,
+                to_gate,
+                plane_d[..., None],
+                lateral[..., None],
+                others,
+            ],
+            axis=-1,
+        ).astype(self.dtype)
+
+    @property
+    def obs_dim(self) -> int:
+        att = 4 if self.params.att_mode == "quat" else 9
+        return 3 + 3 + att + 3 + 1 + 3 + 1 + 1 + (self.n_agents - 1) * 3
+
+    # ---- reset ------------------------------------------------------------
+
+    def _sample_drones(self, key) -> DroneState:
+        A = self.n_agents
+        kp, ka = jax.random.split(key)
+        angles = jnp.arange(A, dtype=self.dtype) / A * 2 * jnp.pi
+        base = jnp.stack(
+            [self.track_radius + jnp.cos(angles) * self.spawn_radius,
+             jnp.sin(angles) * self.spawn_radius,
+             jnp.full((A,), self.spawn_height, self.dtype)], axis=-1)
+        jitter = 0.3 * jax.random.normal(kp, (A, 3), self.dtype)
+        ypr = jnp.zeros((A, 3), self.dtype).at[:, 2].set(90.0)  # face +y
+        return drone_reset(self.params, base + jitter,
+                           jnp.zeros((A, 3), self.dtype), ypr)
+
+    def reset(self, key, world: Optional[World] = None):
+        world = self.default_world() if world is None else world
+        key, kd = jax.random.split(key)
+        drones = self._sample_drones(kd)
+        next_gate = jnp.zeros((self.n_agents,), jnp.int32)
+        plane_d, _, _ = self._gate_info(world, next_gate, drones.pos)
+        state = MultiRaceState(
+            drones=drones, next_gate=next_gate, prev_gate_dist=plane_d,
+            gates_passed=jnp.zeros((self.n_agents,), jnp.int32),
+            t=jnp.zeros((), jnp.int32), key=key,
+            episode_return=jnp.zeros((self.n_agents,), self.dtype),
+        )
+        return state, self._obs(state, world)
+
+    # ---- step -------------------------------------------------------------
+
+    def step(self, state: MultiRaceState, actions,
+             world: Optional[World] = None, wind=None):
+        """actions: (..., A, 4). Returns (state, obs, reward (..., A),
+        done (...,) env-level, info)."""
+        world = self.default_world() if world is None else world
+        drones, _ = drone_step(self.params, state.drones, actions, world,
+                               wind=wind)
+
+        # inter-agent contact = crash for both (pairwise centers)
+        A = self.n_agents
+        diff = drones.pos[..., None, :, :] - drones.pos[..., :, None, :]
+        pair_d = jnp.linalg.norm(diff + jnp.eye(A)[..., None] * 1e3, axis=-1)
+        contact = jnp.any(pair_d < self.agent_collision_radius, axis=-1)
+        crashed = drones.done | contact
+        drones = drones.replace(done=crashed)
+
+        # gate passing
+        plane_d, lateral, _ = self._gate_info(world, state.next_gate, drones.pos)
+        passed = (
+            (state.prev_gate_dist < 0) & (plane_d >= 0)
+            & (lateral < world.gate_size[state.next_gate] / 2.0)
+            & ~crashed
+        )
+        next_gate = jnp.where(
+            passed, (state.next_gate + 1) % self.n_gates, state.next_gate)
+        gates_passed = state.gates_passed + passed.astype(jnp.int32)
+        # recompute plane distance for the (possibly new) gate
+        plane_d_new, _, _ = self._gate_info(world, next_gate, drones.pos)
+
+        progress = jnp.where(
+            passed, 0.0, plane_d - state.prev_gate_dist)  # toward plane from behind
+        reward = (
+            self.w_gate * passed.astype(self.dtype)
+            + self.w_progress * progress.astype(self.dtype)
+            + self.w_alive
+            - self.w_crash * crashed.astype(self.dtype)
+        )
+
+        t = state.t + 1
+        env_done = jnp.all(crashed, axis=-1) | (t >= self.max_episode_steps)
+        ep_ret = state.episode_return + reward
+
+        next_state = MultiRaceState(
+            drones=drones, next_gate=next_gate, prev_gate_dist=plane_d_new,
+            gates_passed=gates_passed, t=t, key=state.key,
+            episode_return=ep_ret,
+        )
+
+        # env-level auto-reset
+        key, kr = jax.random.split(state.key)
+        reset_state, _ = self.reset(kr, world)
+        next_state = next_state.replace(key=key)
+        next_state = tree_where(env_done, reset_state, next_state)
+
+        info = {
+            "gates_passed": gates_passed,
+            "crashed": crashed,
+            "episode_return": ep_ret,
+        }
+        return next_state, self._obs(next_state, world), reward, env_done, info

@@ -1,0 +1,58 @@
+"""Flight-log readers: Betaflight blackbox + CSV logs.
+
+The reference parses Betaflight/iNav blackbox `.BBL` files via the
+``orangebox`` package into a DataFrame (src/utils/log_reader.py:6-20) as
+real-flight ground truth for tuning. ``orangebox`` is not in this image, so
+:func:`blackbox_parser` gates on it with a clear error; :func:`csv_log_reader`
+covers the common case of logs already decoded to CSV (Betaflight's
+blackbox_decode output), returning the same field-per-column layout.
+"""
+
+from __future__ import annotations
+
+import csv
+from typing import Dict
+
+import numpy as np
+
+
+def blackbox_parser(path):
+    """Parse a .BBL blackbox log into {field_name: np.ndarray}.
+
+    Requires the optional ``orangebox`` package (same dependency as the
+    reference); raises ImportError with install guidance when absent.
+    """
+    try:
+        from orangebox import Parser  # type: ignore
+    except ImportError as e:
+        raise ImportError(
+            "blackbox_parser requires the 'orangebox' package (the same "
+            "optional dependency the reference uses). Decode the log to CSV "
+            "with blackbox_decode and use csv_log_reader instead."
+        ) from e
+
+    parser = Parser.load(str(path))
+    names = list(parser.field_names)
+    rows = []
+    for frame in parser.frames():
+        row = np.full(len(names), np.nan)
+        row[: len(frame.data)] = frame.data
+        rows.append(row)
+    data = np.asarray(rows) if rows else np.zeros((0, len(names)))
+    return {name: data[:, i] for i, name in enumerate(names)}
+
+
+def csv_log_reader(path) -> Dict[str, np.ndarray]:
+    """Read a decoded blackbox CSV (header row of field names) into
+    {field_name: float array}; non-numeric cells become NaN."""
+    with open(path, newline="") as f:
+        reader = csv.reader(f)
+        header = [h.strip() for h in next(reader)]
+        cols: Dict[str, list] = {h: [] for h in header}
+        for row in reader:
+            for h, cell in zip(header, row):
+                try:
+                    cols[h].append(float(cell))
+                except ValueError:
+                    cols[h].append(float("nan"))
+    return {h: np.asarray(v) for h, v in cols.items()}

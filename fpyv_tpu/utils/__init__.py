@@ -1,0 +1,9 @@
+"""Aux subsystems: checkpointing, profiling, metrics (SURVEY.md §5)."""
+
+from fpyv_tpu.utils.profiling import timeit, Throughput, trace  # noqa: F401
+from fpyv_tpu.utils.metrics import MetricsLogger  # noqa: F401
+from fpyv_tpu.utils.checkpoint import (  # noqa: F401
+    restore_checkpoint,
+    save_checkpoint,
+    latest_step,
+)

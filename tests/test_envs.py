@@ -170,3 +170,41 @@ class TestTargetMotion:
         # stays on the circle
         r = np.linalg.norm((c11 - np.asarray(w.sphere_path_center[0]))[:2])
         np.testing.assert_allclose(r, 25.0, rtol=1e-5)
+
+
+class TestHoverEnv:
+    def test_rates_pid_hover_pilot(self):
+        """BASELINE config #1: rates-PID hover. The scripted pilot must
+        reduce position error and never crash over 600 steps."""
+        from fpyv_tpu.envs.hover import HoverEnv, HoverPilot
+        from fpyv_tpu.physics.drone import DroneParams
+
+        params = DroneParams()
+        env = HoverEnv(params=params)
+        pilot = HoverPilot(drone_params=params)
+        state, obs = env.reset(jax.random.key(0))
+        ps = pilot.init((), jnp.float32)
+        world = env.default_world()
+
+        @jax.jit
+        def run(state, ps):
+            def body(carry, _):
+                st, p = carry
+                p, action = pilot.act(p, st.drone, st.target_pos)
+                st, obs, r, d, info = env.step(st, action, world)
+                return (st, p), (info["pos_err"], d)
+            return jax.lax.scan(body, (state, ps), None, length=600)
+
+        (state, ps), (errs, dones) = run(state, ps)
+        errs = np.asarray(errs)
+        assert not np.asarray(dones).any(), "hover pilot must not crash"
+        assert errs[-1] < errs[0] * 0.3, (errs[0], errs[-1])
+        assert errs[-50:].mean() < 2.0
+
+    def test_hover_env_fixed_seed_deterministic(self):
+        from fpyv_tpu.envs.hover import HoverEnv
+
+        env = HoverEnv()
+        s1, o1 = env.reset(jax.random.key(7))
+        s2, o2 = env.reset(jax.random.key(7))
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
