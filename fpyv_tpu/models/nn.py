@@ -78,3 +78,19 @@ def mlp_apply(params: List[Params], x: jnp.ndarray,
         elif final_activation is not None:
             x = final_activation(x)
     return x
+
+
+def binarize(w: jnp.ndarray) -> jnp.ndarray:
+    """Sign-binarize weights to ±1 with a straight-through estimator.
+
+    The working form of tests/nn_1bit_weights.py's ±1-weight experiment
+    (the reference sketch initializes random ±1 weights but never trains;
+    with the STE the binarized net is actually trainable by jax.grad).
+    """
+    binary = jnp.where(w >= 0, 1.0, -1.0).astype(w.dtype)
+    return w + jax.lax.stop_gradient(binary - w)
+
+
+def binary_linear_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Linear layer with ±1 (binarized) weights, full-precision bias."""
+    return x @ binarize(params["weight"]) + params["bias"]

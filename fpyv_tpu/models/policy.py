@@ -48,8 +48,8 @@ class ActorCritic(fnn.Module):
         )(pi_x)
         log_std = self.param(
             "log_std", fnn.initializers.constant(self.log_std_init),
-            (self.action_dim,),
-        )
+            (self.action_dim,), jnp.float32,  # explicit: raw init_fns default
+        )                                     # to f64 under jax_enable_x64
         v_x = pi_x if self.shared_torso else self._torso(obs, "v")
         value = fnn.Dense(
             1, name="v_out",

@@ -25,6 +25,28 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = ENV_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_hybrid_mesh(axis: str = ENV_AXIS) -> Mesh:
+    """Multi-host mesh with DCN between hosts and ICI within each host/slice.
+
+    ``mesh_utils.create_hybrid_device_mesh`` orders devices so the inner
+    (ICI) dimension is contiguous per host; flattened to our 1-D env axis
+    this keeps each host's env bank local and makes the learner all-reduce
+    hierarchical (intra-slice ICI ring + inter-host DCN), which is how the
+    BASELINE's ">=2 host v5e" scaling is meant to run. Falls back to the
+    plain mesh in single-process environments.
+    """
+    import jax.experimental.mesh_utils as mesh_utils
+
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return make_mesh(axis=axis)
+    per_host = len(jax.devices()) // n_proc
+    mesh_arr = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_host,), dcn_mesh_shape=(n_proc,),
+    )
+    return Mesh(mesh_arr.reshape(-1), (axis,))
+
+
 def shard_leading_axis(tree, mesh: Mesh, axis: str = ENV_AXIS):
     """Place a pytree with NamedSharding P(axis) on every leaf's leading dim."""
     sharding = NamedSharding(mesh, P(axis))

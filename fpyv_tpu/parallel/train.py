@@ -18,7 +18,7 @@ from typing import Callable
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from fpyv_tpu.parallel.mesh import ENV_AXIS
 from fpyv_tpu.rl.ppo import PpoConfig, PpoState, make_ppo
@@ -59,7 +59,7 @@ def make_distributed_ppo(
         mesh=mesh,
         in_specs=(state_spec,),
         out_specs=(state_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     return init, jax.jit(sharded_iteration)
