@@ -108,13 +108,18 @@ def run_simulator(
 
     cv2 = None
     if render == "2d":
-        try:
-            import cv2 as _cv2
+        import os
 
-            cv2 = _cv2
-            cv2.namedWindow("img")
-        except Exception:
-            cv2 = None
+        # cv2.namedWindow ABORTS (uncatchable) without a display server;
+        # only attempt the GUI when one exists, else frames go to frame_sink.
+        if os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"):
+            try:
+                import cv2 as _cv2
+
+                _cv2.namedWindow("img")
+                cv2 = _cv2
+            except Exception:
+                cv2 = None
     ax = fig = None
     if render == "3d":
         from fpyv_tpu.viz.render3d import init_3d_axis

@@ -60,6 +60,8 @@ def _cmd_parity(args):
     """Fixed-seed trajectory check: jax (x64) vs the NumPy oracle."""
     import jax
 
+    # the oracle comparison is a float64 CPU job; TPU platforms lack x64
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np

@@ -208,3 +208,71 @@ def point_and_shoot(
     R_des = _force_basis(force, jnp.broadcast_to(second, force.shape))
     new_state = state.replace(pid=pid_state, **new_state_pix)
     return new_state, R_des, force_norm
+
+
+def point_and_shoot_optimize(
+    g: GuidanceParams,
+    rig: CameraRig,
+    cam_R: jnp.ndarray,
+    pixel: jnp.ndarray,  # (..., 2) target pixel in the CURRENT frame
+    position: jnp.ndarray,
+    velocity: jnp.ndarray,
+    mass: float,
+    max_force: float,
+    desired_row_fraction: float = 0.5,
+    iterations: int = 12,
+):
+    """Working replacement for the reference's unfinished
+    ``point_and_shoot_optimizer`` (components.py:389-429 — an aborted sketch
+    whose loop never terminates).
+
+    Intent per the reference's comments (:414-421): pick the force
+    multiplier so that after the drone re-orients to apply the force, the
+    target's REPROJECTED pixel sits at a desired screen row (throttle up ->
+    target drops in frame, and vice versa). Solved here by bisection on the
+    multiplier over [pid.min_output, max_force]: for each candidate, build
+    the force basis exactly as point_and_shoot does, reproject the target
+    direction through the new camera orientation, and compare rows.
+
+    Returns (R_desired, |F|, final_pixel_row).
+    """
+    dtype = position.dtype
+    dir2target = pixel_to_direction(rig, cam_R, pixel)
+    gravity = _gravity(mass, dtype)
+    vdrag = _virtual_drag(velocity, dir2target, g.virtual_drag_coef)
+    W, H = rig.resolution
+    K = jnp.asarray(rig.K, dtype)
+    mount = jnp.asarray(rig.mount_rotation, dtype)
+    target_row = desired_row_fraction * H
+
+    def force_of(mult):
+        return mult[..., None] * dir2target + vdrag - gravity
+
+    def row_of(mult):
+        force = force_of(mult)
+        second = gravity if g.mode == "level" else dir2target
+        R_body = _force_basis(force, jnp.broadcast_to(second, force.shape))
+        cam = jnp.matmul(R_body, mount, precision="highest")
+        d_cam = jnp.einsum("...ij,...i->...j", cam, dir2target,
+                           precision="highest")
+        h = jnp.einsum("ij,...j->...i", K, d_cam, precision="highest")
+        depth = jnp.where(jnp.abs(h[..., 2]) > 1e-9, h[..., 2], 1e-9)
+        return h[..., 1] / depth, R_body, force
+
+    lo = jnp.full(position.shape[:-1], g.pid.min_output, dtype)
+    hi = jnp.full(position.shape[:-1], max_force, dtype)
+    for _ in range(iterations):  # static bisection, branch-free
+        mid = 0.5 * (lo + hi)
+        row, _, _ = row_of(mid)
+        # more thrust toward the target pitches the camera toward it, so the
+        # target's row DECREASES monotonically with the multiplier (measured).
+        # Row too low in frame (row > desired) -> add thrust.
+        add_thrust = row > target_row
+        lo = jnp.where(add_thrust, mid, lo)
+        hi = jnp.where(add_thrust, hi, mid)
+
+    mult = 0.5 * (lo + hi)
+    row, R_des, force = row_of(mult)
+    fnorm = jnp.linalg.norm(force, axis=-1)
+    fnorm = jnp.minimum(fnorm, max_force)
+    return R_des, fnorm, row

@@ -120,6 +120,31 @@ def build_render_bank(spec: WorldSpec,
     )
 
 
+def bank_downsample(bank: RenderBank, factor: int,
+                    seed: int = 0) -> RenderBank:
+    """Keep ~1/factor of each object's points (uniform strided per object).
+
+    The splat renderer's cost is linear in point count on TPU (scatter
+    serializes per update — BENCH.md), so RL observation banks should carry
+    only as many points as the target resolution resolves. Bboxes (used for
+    pruning) are preserved from the full geometry.
+    """
+    if factor <= 1:
+        return bank
+    keep = np.zeros(bank.num_points, bool)
+    for oid in range(bank.num_objects):
+        idx = np.nonzero(bank.point_obj == oid)[0]
+        keep[idx[::factor]] = True
+    return RenderBank(
+        base_points=bank.base_points[keep],
+        point_obj=bank.point_obj[keep],
+        obj_is_sphere=bank.obj_is_sphere,
+        obj_sphere_idx=bank.obj_sphere_idx,
+        bbox_base=bank.bbox_base,
+        num_objects=bank.num_objects,
+    )
+
+
 def bank_subset(bank: RenderBank, obj_indices) -> RenderBank:
     """A bank restricted to the given object indices (e.g. just the chased
     target, like simulator.py:102's render of [targets[idx]])."""

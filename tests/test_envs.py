@@ -208,3 +208,46 @@ class TestHoverEnv:
         s1, o1 = env.reset(jax.random.key(7))
         s2, o2 = env.reset(jax.random.key(7))
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+class TestSensorAcroEnv:
+    def test_obs_is_sensor_only(self):
+        """BASELINE config #3: IMU + gyro-noise + baro + UWB observations
+        with domain randomization; no ground-truth position in the obs."""
+        from fpyv_tpu.envs.sensor_acro import SensorAcroEnv
+
+        env = SensorAcroEnv()
+        world = env.acro.default_world()
+        keys = jax.random.split(jax.random.key(0), 8)
+        state, obs = jax.vmap(lambda k: env.reset(k, world))(keys)
+        assert obs.shape == (8, env.obs_dim)
+        a = jnp.zeros((8, 4)).at[:, 3].set(-0.6)
+        state, obs, r, d, info = jax.vmap(
+            lambda s, aa: env.step(s, aa, world))(state, a)
+        assert np.isfinite(np.asarray(obs)).all()
+        # domain randomization inherited
+        assert np.asarray(state.acro.domain_rand.mass_scale).std() > 0.0
+
+    def test_sensor_noise_varies_obs(self):
+        from fpyv_tpu.envs.sensor_acro import SensorAcroEnv
+
+        env = SensorAcroEnv()
+        world = env.acro.default_world()
+        s1, o1 = env.reset(jax.random.key(1), world)
+        a = jnp.zeros(4).at[3].set(-0.6)
+        s2, o2, *_ = env.step(s1, a, world)
+        s3, o3, *_ = env.step(s2, a, world)
+        # successive noisy readings differ (baro/gyro noise live)
+        assert not np.allclose(np.asarray(o2), np.asarray(o3))
+
+
+class TestSimulator2dPath:
+    def test_frame_sink_receives_hud_frames(self):
+        from fpyv_tpu.apps.simulator import run_simulator
+
+        frames = []
+        out = run_simulator(steps=8, render="2d", guided=False, seed=0,
+                            frame_sink=frames.append)
+        assert len(frames) >= 3
+        f = frames[0]
+        assert f.dtype == np.uint8 and f.shape == (480, 640)

@@ -164,3 +164,45 @@ class TestPointAndShoot:
             params.mass, max_f, params.dt)
         assert bool(gs2.has_prev)
         assert np.any(np.asarray(gs2.pixel_velocity) != 0)
+
+
+class TestPointAndShootOptimizer:
+    def test_bisection_hits_reachable_row(self, cfg):
+        """For a target near frame center, the optimizer should find a
+        multiplier placing the reprojected target at the desired row."""
+        from fpyv_tpu.control.guidance import point_and_shoot_optimize
+
+        params = DroneParams.from_config(cfg)
+        g = GuidanceParams.from_config(cfg, params)
+        rig = full_rig()
+        pos = jnp.asarray([0.0, 0.0, 5.0])
+        vel = jnp.asarray([1.0, 0.0, 0.0])
+        _, cam_R = camera_pose(rig, pos, jnp.eye(3, dtype=jnp.float64))
+        # sweep candidate rows; for each, the achieved row should either hit
+        # the target row or clamp at an endpoint of the reachable interval
+        pixel = jnp.asarray([320.0, 300.0])
+        R, f, row = point_and_shoot_optimize(
+            g, rig, cam_R, pixel, pos, vel, params.mass,
+            params.thrust_curve.max_force, desired_row_fraction=0.55)
+        assert float(f) <= params.thrust_curve.max_force + 1e-6
+        RtR = np.asarray(R).T @ np.asarray(R)
+        np.testing.assert_allclose(RtR, np.eye(3), atol=1e-6)
+        # row moves monotonically with thrust; check target row achieved
+        # within bisection resolution when reachable
+        assert abs(float(row) - 0.55 * 480) < 25.0, float(row)
+
+    def test_unreachable_row_clamps(self, cfg):
+        from fpyv_tpu.control.guidance import point_and_shoot_optimize
+
+        params = DroneParams.from_config(cfg)
+        g = GuidanceParams.from_config(cfg, params)
+        rig = full_rig()
+        pos = jnp.asarray([0.0, 0.0, 5.0])
+        vel = jnp.asarray([1.0, 0.0, 0.0])
+        _, cam_R = camera_pose(rig, pos, jnp.eye(3, dtype=jnp.float64))
+        # target high in frame: center row unreachable; must clamp, stay finite
+        R, f, row = point_and_shoot_optimize(
+            g, rig, cam_R, jnp.asarray([320.0, 100.0]), pos, vel,
+            params.mass, params.thrust_curve.max_force)
+        assert np.isfinite(float(f)) and np.isfinite(float(row))
+        assert float(f) <= params.thrust_curve.max_force + 1e-6
