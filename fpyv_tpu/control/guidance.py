@@ -240,7 +240,7 @@ def point_and_shoot_optimize(
     dir2target = pixel_to_direction(rig, cam_R, pixel)
     gravity = _gravity(mass, dtype)
     vdrag = _virtual_drag(velocity, dir2target, g.virtual_drag_coef)
-    W, H = rig.resolution
+    _, H = rig.resolution
     K = jnp.asarray(rig.K, dtype)
     mount = jnp.asarray(rig.mount_rotation, dtype)
     target_row = desired_row_fraction * H
@@ -249,15 +249,20 @@ def point_and_shoot_optimize(
         return mult[..., None] * dir2target + vdrag - gravity
 
     def row_of(mult):
+        from fpyv_tpu.ops.camera_ops import project_camera_points
+        from fpyv_tpu.ops.rotations import mat3_mul, mat3_vec_T
+
         force = force_of(mult)
         second = gravity if g.mode == "level" else dir2target
         R_body = _force_basis(force, jnp.broadcast_to(second, force.shape))
-        cam = jnp.matmul(R_body, mount, precision="highest")
-        d_cam = jnp.einsum("...ij,...i->...j", cam, dir2target,
-                           precision="highest")
-        h = jnp.einsum("ij,...j->...i", K, d_cam, precision="highest")
-        depth = jnp.where(jnp.abs(h[..., 2]) > 1e-9, h[..., 2], 1e-9)
-        return h[..., 1] / depth, R_body, force
+        cam = mat3_mul(R_body, mount)  # camera_pose's rotation composition
+        d_cam = mat3_vec_T(cam, dir2target)
+        _, v, depth = project_camera_points(d_cam[..., None, :], K)
+        # behind-camera candidates (low thrust can point the camera away from
+        # the target): force them to a huge row so the monotone 'row decreases
+        # with thrust' predicate keeps walking the bracket toward more thrust.
+        row = jnp.where(depth[..., 0] > 1e-6, v[..., 0], 1e6)
+        return row, R_body, force
 
     lo = jnp.full(position.shape[:-1], g.pid.min_output, dtype)
     hi = jnp.full(position.shape[:-1], max_force, dtype)

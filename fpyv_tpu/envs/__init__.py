@@ -19,3 +19,7 @@ from fpyv_tpu.envs.acro import AcroEnv  # noqa: F401
 from fpyv_tpu.envs.ball import BallEnv  # noqa: F401
 from fpyv_tpu.envs.gridworld import MaComGridEnv  # noqa: F401
 from fpyv_tpu.envs.vision_acro import VisionAcroEnv  # noqa: F401
+from fpyv_tpu.envs.sensor_acro import SensorAcroEnv  # noqa: F401
+from fpyv_tpu.envs.hover import HoverEnv, HoverPilot  # noqa: F401
+from fpyv_tpu.envs.multi_race import MultiRaceEnv  # noqa: F401
+from fpyv_tpu.envs.gym_adapter import GymAdapter  # noqa: F401

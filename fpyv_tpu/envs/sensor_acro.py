@@ -99,8 +99,11 @@ class SensorAcroEnv:
         acro_state, _, reward, done, info = self.acro.step(
             state.acro, action, world)
         key, ko = jax.random.split(state.key)
+        # zero the action memory across auto-reset boundaries: a new episode's
+        # first obs must not carry the crashed episode's terminal action
+        prev_action = jnp.where(done[..., None],
+                                0.0, jnp.asarray(action, self.acro.dtype))
         next_state = SensorAcroState(
-            acro=acro_state, prev_action=jnp.asarray(action, self.acro.dtype),
-            key=key,
+            acro=acro_state, prev_action=prev_action, key=key,
         )
         return next_state, self._obs(next_state, world, ko), reward, done, info

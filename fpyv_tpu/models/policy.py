@@ -57,3 +57,39 @@ class ActorCritic(fnn.Module):
             bias_init=fnn.initializers.zeros,
         )(v_x)[..., 0]
         return mean, log_std, value
+
+
+class PixelActorCritic(fnn.Module):
+    """Conv torso for depth-image observations + MLP heads.
+
+    For the vision envs (fpyv_tpu.envs.vision_acro): the depth image passes
+    through a small conv stack (NHWC, bf16-friendly), concatenates with the
+    proprioceptive vector, then splits into Gaussian policy and value heads.
+    """
+
+    action_dim: int
+    channels: Sequence[int] = (16, 32, 32)
+    hidden: Sequence[int] = (256,)
+    log_std_init: float = -0.5
+
+    @fnn.compact
+    def __call__(self, pixels, proprio) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """pixels (..., H, W) in [0,1]; proprio (..., P)."""
+        x = pixels[..., None]  # -> NHWC
+        for i, ch in enumerate(self.channels):
+            x = fnn.Conv(ch, (3, 3), strides=(2, 2), name=f"conv{i}")(x)
+            x = fnn.relu(x)
+        x = x.reshape(x.shape[: pixels.ndim - 2] + (-1,))
+        x = jnp.concatenate([x, proprio], axis=-1)
+        for i, h in enumerate(self.hidden):
+            x = fnn.relu(fnn.Dense(h, name=f"fc{i}")(x))
+        mean = fnn.Dense(
+            self.action_dim, name="pi_mean",
+            kernel_init=fnn.initializers.orthogonal(0.01),
+        )(x)
+        log_std = self.param(
+            "log_std", fnn.initializers.constant(self.log_std_init),
+            (self.action_dim,), jnp.float32,
+        )
+        value = fnn.Dense(1, name="v_out")(x)[..., 0]
+        return mean, log_std, value
