@@ -93,3 +93,40 @@ class PixelActorCritic(fnn.Module):
         )
         value = fnn.Dense(1, name="v_out")(x)[..., 0]
         return mean, log_std, value
+
+
+class SquashedGaussianActor(fnn.Module):
+    """tanh-squashed Gaussian policy (SAC actor)."""
+
+    action_dim: int
+    hidden: Sequence[int] = (128, 128)
+    log_std_min: float = -10.0
+    log_std_max: float = 2.0
+
+    @fnn.compact
+    def __call__(self, obs):
+        x = obs
+        for i, h in enumerate(self.hidden):
+            x = fnn.relu(fnn.Dense(h, name=f"dense{i}")(x))
+        mean = fnn.Dense(self.action_dim, name="mean")(x)
+        log_std = fnn.Dense(self.action_dim, name="log_std")(x)
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
+        return mean, log_std
+
+
+class TwinQNetwork(fnn.Module):
+    """Two independent Q heads (SAC critic); returns (q1, q2)."""
+
+    hidden: Sequence[int] = (128, 128)
+
+    @fnn.compact
+    def __call__(self, obs, action):
+        x0 = jnp.concatenate([obs, action], axis=-1)
+
+        def q(name):
+            x = x0
+            for i, h in enumerate(self.hidden):
+                x = fnn.relu(fnn.Dense(h, name=f"{name}_dense{i}")(x))
+            return fnn.Dense(1, name=f"{name}_out")(x)[..., 0]
+
+        return q("q1"), q("q2")

@@ -8,3 +8,5 @@ learner whose gradients sync with ``psum`` over the mesh's env axis.
 
 from fpyv_tpu.rl.ppo import PpoConfig, PpoState, make_ppo  # noqa: F401
 from fpyv_tpu.rl.gae import compute_gae  # noqa: F401
+from fpyv_tpu.rl.sac import SacConfig, SacState, make_sac  # noqa: F401
+from fpyv_tpu.rl.replay import ReplayBuffer, replay_init  # noqa: F401
