@@ -55,9 +55,12 @@ def train_acro(
                        learning_rate=learning_rate)
 
     def env_step(env_state, action, key):
-        st, obs, reward, done, _ = jax.vmap(
+        st, obs, reward, done, info = jax.vmap(
             lambda s, a: env.step(s, a, world))(env_state, action)
-        return st, obs, reward, done
+        # hand the learner TERMINATIONS only: time-limit truncations must
+        # bootstrap V(s') rather than zero it (done would bias values near
+        # the horizon; the env still auto-resets on either)
+        return st, obs, reward, info["crashed"]
 
     key = jax.random.key(seed)
     k_env, k_net, k_train = jax.random.split(key, 3)

@@ -145,9 +145,11 @@ class MultiRaceEnv:
         A = self.n_agents
         kp, ka = jax.random.split(key)
         angles = jnp.arange(A, dtype=self.dtype) / A * 2 * jnp.pi
+        # spawn ring fully BEHIND gate 0's plane (normal +y at y=0): every
+        # agent starts with plane_d < 0 so its first crossing counts
         base = jnp.stack(
             [self.track_radius + jnp.cos(angles) * self.spawn_radius,
-             jnp.sin(angles) * self.spawn_radius,
+             -3.0 - self.spawn_radius + jnp.sin(angles) * self.spawn_radius,
              jnp.full((A,), self.spawn_height, self.dtype)], axis=-1)
         jitter = 0.3 * jax.random.normal(kp, (A, 3), self.dtype)
         ypr = jnp.zeros((A, 3), self.dtype).at[:, 2].set(90.0)  # face +y
@@ -184,6 +186,9 @@ class MultiRaceEnv:
         pair_d = jnp.linalg.norm(diff + jnp.eye(A)[..., None] * 1e3, axis=-1)
         contact = jnp.any(pair_d < self.agent_collision_radius, axis=-1)
         crashed = drones.done | contact
+        # penalize only the crash TRANSITION: done is sticky until the env
+        # resets, and a per-step penalty stream would swamp the advantages
+        newly_crashed = crashed & ~state.drones.done
         drones = drones.replace(done=crashed)
 
         # gate passing
@@ -204,8 +209,8 @@ class MultiRaceEnv:
         reward = (
             self.w_gate * passed.astype(self.dtype)
             + self.w_progress * progress.astype(self.dtype)
-            + self.w_alive
-            - self.w_crash * crashed.astype(self.dtype)
+            + self.w_alive * (~crashed).astype(self.dtype)
+            - self.w_crash * newly_crashed.astype(self.dtype)
         )
 
         t = state.t + 1

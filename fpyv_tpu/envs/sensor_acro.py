@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from fpyv_tpu.envs.acro import AcroEnv, AcroState
-from fpyv_tpu.physics.drone import _att_to_rotmat
 from fpyv_tpu.physics.world import World
 from fpyv_tpu.sensors.baro import BaroParams, baro_measure
 from fpyv_tpu.sensors.uwb import uwb_range
@@ -55,19 +54,15 @@ class SensorAcroEnv:
         return 9 + 3 + 3 + 1 + 1 + 4
 
     def _obs(self, state: SensorAcroState, world: World, key):
+        from fpyv_tpu.sensors.imu import imu_vectors
+
         d = state.acro.drone
-        kg, ka, kb, ku = jax.random.split(key, 4)
-        R = _att_to_rotmat(self.acro.params, d.att)
-        RT_flat = jnp.swapaxes(R, -1, -2).reshape(R.shape[:-2] + (9,))
-        accel_body = jnp.einsum("...ij,...j->...i", R, d.accel,
-                                precision="highest")
-        if self.accel_noise_std > 0:
-            accel_body = accel_body + self.accel_noise_std * jax.random.normal(
-                ka, accel_body.shape, accel_body.dtype)
-        rates = d.rates
-        if self.gyro_noise_std_deg > 0:
-            rates = rates + self.gyro_noise_std_deg * jax.random.normal(
-                kg, rates.shape, rates.dtype)
+        ki, kb, ku = jax.random.split(key, 3)
+        R, rates, accel_body = imu_vectors(
+            self.acro.params, d, key=ki,
+            accel_noise_std=self.accel_noise_std,
+            gyro_noise_std_deg=self.gyro_noise_std_deg)
+        RT_flat = jnp.swapaxes(R, -1, -2).reshape(d.pos.shape[:-1] + (9,))
         alt = baro_measure(d.pos[..., 2], kb, self.baro)
         target = world.sphere_center[..., 0, :]
         rng = uwb_range(d.pos, target,

@@ -50,13 +50,17 @@ def map_from_to(x, a, b, c, d):
 
 def calib_transform(raw, min_vals, max_vals, sign_reverse, stick_idx,
                     stick_center):
-    """Pure batched calibration: raw (..., 6) -> calibrated (..., 6).
+    """Pure batched calibration: raw (..., 6) -> calibrated (..., 6) jnp.
 
     stick_idx: (4,) int indices of Throttle/Roll/Pitch/Yaw channels;
-    stick_center: (4,) their centers. Works with numpy or jnp inputs.
+    stick_center: (4,) their centers. jit/vmap-safe (all jnp ops); numpy
+    inputs are accepted and come back as jnp arrays.
     """
-    xp = np  # works under jnp too via duck typing when arrays are jnp
-    norm = map_from_to(raw, min_vals, max_vals, -1.0, 1.0) * sign_reverse
+    import jax.numpy as jnp
+
+    raw = jnp.asarray(raw)
+    norm = map_from_to(raw, jnp.asarray(min_vals), jnp.asarray(max_vals),
+                       -1.0, 1.0) * jnp.asarray(sign_reverse)
     out = norm
     for i in range(len(stick_idx)):
         idx = int(stick_idx[i])
@@ -64,12 +68,7 @@ def calib_transform(raw, min_vals, max_vals, sign_reverse, stick_idx,
         v = norm[..., idx]
         low = map_from_to(v, -1.0, c, -1.0, 0.0)
         high = map_from_to(v, c, 1.0, 0.0, 1.0)
-        mapped = xp.where(v <= c, low, high)
-        if hasattr(out, "at"):  # jnp
-            out = out.at[..., idx].set(mapped)
-        else:
-            out = out.copy()
-            out[..., idx] = mapped
+        out = out.at[..., idx].set(jnp.where(v <= c, low, high))
     return out
 
 

@@ -64,7 +64,7 @@ def fovs_from_resolution(resolution, focal_length):
     return fh, fv
 
 
-def world_to_camera(points, cam_R, cam_t):
+def world_to_camera(points, cam_R, cam_t, precision="highest"):
     """Transform world points into the camera frame.
 
     Equivalent to ``inv([R|t; 0 1]) @ [p;1]`` (components.py:531-535) without
@@ -78,10 +78,11 @@ def world_to_camera(points, cam_R, cam_t):
       (..., P, 3) points in camera frame (z = depth along optical axis).
     """
     rel = points - cam_t[..., None, :]
-    return jnp.einsum("...ij,...pi->...pj", cam_R, rel)
+    return jnp.einsum("...ij,...pi->...pj", cam_R, rel, precision=precision)
 
 
-def project_camera_points(pts_cam, K):
+def project_camera_points(pts_cam, K, eps: float = 1e-12,
+                          precision="highest"):
     """Apply intrinsics and perspective divide; float pixel coords + depth.
 
     Parity with components.py:545-568 up to (but not including) the int cast:
@@ -91,9 +92,9 @@ def project_camera_points(pts_cam, K):
     Returns:
       (u, v, depth): each (..., P).
     """
-    x = jnp.einsum("...ij,...pj->...pi", K, pts_cam)
+    x = jnp.einsum("...ij,...pj->...pi", K, pts_cam, precision=precision)
     depth = x[..., 2]
-    safe = jnp.where(jnp.abs(depth) > 1e-12, depth, 1e-12)
+    safe = jnp.where(jnp.abs(depth) > eps, depth, eps)
     return x[..., 0] / safe, x[..., 1] / safe, depth
 
 

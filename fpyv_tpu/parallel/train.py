@@ -52,6 +52,9 @@ def make_distributed_ppo(
     def local_fn(state: PpoState):
         # each shard sees a (1,)-shaped slice of the key array
         state, info = local_iteration(state.replace(key=state.key[0]))
+        # metrics are per-shard (local envs/minibatches); reduce so the
+        # P() out_spec really is replicated and reports GLOBAL means
+        info = jax.lax.pmean(info, ENV_AXIS)
         return state.replace(key=state.key[None]), info
 
     sharded_iteration = shard_map(

@@ -46,13 +46,29 @@ def _object_positions(bank: RenderBank, world: Optional[World], dtype):
 
 def _project(cam_pos, cam_R, K, points):
     """points (..., P, 3) -> float pixels u,v and depth (..., P).
-    ``K @ inv([R|t; 0 1]) @ p`` without the 4x4 inverse: p_cam = Rᵀ(p - t)."""
-    rel = points - cam_pos[..., None, :]
-    p_cam = jnp.einsum("...ij,...pi->...pj", cam_R, rel, precision=_PREC)
-    h = jnp.einsum("ij,...pj->...pi", K, p_cam, precision=_PREC)
-    depth = h[..., 2]
-    safe = jnp.where(jnp.abs(depth) > 1e-20, depth, 1e-20)
-    return h[..., 0] / safe, h[..., 1] / safe, depth
+
+    Same math as camera_ops.world_to_camera + project_camera_points, written
+    as explicit per-component VPU arithmetic: an einsum here is a batched
+    matmul with K=3 that pads onto 128x128 MXU tiles — measured ~16ms/1024
+    envs at 4002 points vs ~0.1ms elementwise. f32 elementwise products are
+    exact, so this is also at least as precise as the highest-precision
+    matmul path (3-term dots differ only in summation order, <=1 ulp).
+    """
+    px, py, pz = points[..., 0], points[..., 1], points[..., 2]
+    rx = px - cam_pos[..., 0, None]
+    ry = py - cam_pos[..., 1, None]
+    rz = pz - cam_pos[..., 2, None]
+    # p_cam_j = sum_i R[i, j] * rel_i  (Rᵀ @ rel)
+    cx = (cam_R[..., 0, 0, None] * rx + cam_R[..., 1, 0, None] * ry
+          + cam_R[..., 2, 0, None] * rz)
+    cy = (cam_R[..., 0, 1, None] * rx + cam_R[..., 1, 1, None] * ry
+          + cam_R[..., 2, 1, None] * rz)
+    cz = (cam_R[..., 0, 2, None] * rx + cam_R[..., 1, 2, None] * ry
+          + cam_R[..., 2, 2, None] * rz)
+    fx, fy = K[0, 0], K[1, 1]
+    cx0, cy0 = K[0, 2], K[1, 2]
+    safe = jnp.where(jnp.abs(cz) > 1e-20, cz, 1e-20)
+    return fx * cx / safe + cx0, fy * cy / safe + cy0, cz
 
 
 def prune_objects(rig: CameraRig, cam_pos, cam_R, bbox_world):
@@ -117,8 +133,8 @@ def render_depth_image(
     dtype = cam_pos.dtype
     base = jnp.asarray(bank.base_points, dtype)
     point_obj = jnp.asarray(bank.point_obj)
-    obj_pos = _object_positions(bank, world, dtype)  # (O, 3)
-    points = base + obj_pos[point_obj]  # (P, 3) or (..., P, 3)
+    obj_pos = _object_positions(bank, world, dtype)  # (..., O, 3)
+    points = base + obj_pos[..., point_obj, :]  # (..., P, 3)
 
     keep = jnp.ones((bank.num_objects,), bool)
     if obj_active is not None:
@@ -150,7 +166,7 @@ def render_binary_image(
     base = jnp.asarray(bank.base_points, dtype)
     point_obj = jnp.asarray(bank.point_obj)
     obj_pos = _object_positions(bank, world, dtype)
-    points = base + obj_pos[point_obj]
+    points = base + obj_pos[..., point_obj, :]
 
     keep = jnp.ones((bank.num_objects,), bool)
     if obj_active is not None:

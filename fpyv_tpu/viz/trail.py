@@ -8,6 +8,7 @@ components.py:203) and are render-only.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -31,7 +32,13 @@ class Trail:
 
     def update(self, position) -> "Trail":
         L = self.points.shape[-2]
-        pts = self.points.at[..., self.head % L, :].set(jnp.asarray(position))
+        position = jnp.asarray(position)
+        # one-hot masked write: works for scalar AND batched heads (a direct
+        # .at[..., head, :] with a batched head gathers a cross product)
+        slot = jax.lax.broadcasted_iota(
+            jnp.int32, self.points.shape[:-1], self.points.ndim - 2)
+        write = slot == (self.head % L)[..., None]
+        pts = jnp.where(write[..., None], position[..., None, :], self.points)
         return Trail(
             points=pts,
             head=(self.head + 1) % L,
@@ -39,14 +46,16 @@ class Trail:
         )
 
     def ordered(self) -> jnp.ndarray:
-        """(..., L, 3) oldest-first (invalid slots repeat the oldest point)."""
+        """(..., L, 3) oldest-first (invalid slots repeat the newest point)."""
         L = self.points.shape[-2]
-        idx = (self.head - self.count + jnp.arange(L)) % L
+        lane = jnp.arange(L, dtype=jnp.int32)
+        head = self.head[..., None]
+        count = self.count[..., None]
+        idx = jnp.mod(head - count + lane, L)
         # clamp the tail for partially-filled buffers
-        idx = jnp.where(jnp.arange(L) < self.count, idx,
-                        (self.head - 1) % L)
+        idx = jnp.where(lane < count, idx, jnp.mod(head - 1, L))
         return jnp.take_along_axis(
-            self.points, idx[..., :, None].astype(jnp.int32), axis=-2)
+            self.points, idx[..., None].astype(jnp.int32), axis=-2)
 
 
 def render_trail(ax, trail: Trail, **kwargs):

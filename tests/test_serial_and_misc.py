@@ -106,3 +106,16 @@ class TestTrail:
         np.testing.assert_allclose(pts[1], [4, 5, 6])
         # tail clamps to newest
         np.testing.assert_allclose(pts[-1], [4, 5, 6])
+
+
+class TestTrailBatched:
+    def test_batched_ring(self):
+        t = Trail.create(4, jnp.zeros((3, 3)), batch_shape=(3,))
+        for i in range(1, 7):
+            pos = jnp.tile(jnp.asarray([[float(i), 0.0, 0.0]]), (3, 1))
+            pos = pos.at[1, 0].mul(10.0)  # env 1 gets different positions
+            t = t.update(pos)
+        pts = np.asarray(t.ordered())
+        assert pts.shape == (3, 4, 3)
+        np.testing.assert_allclose(pts[0, :, 0], [3, 4, 5, 6])
+        np.testing.assert_allclose(pts[1, :, 0], [30, 40, 50, 60])

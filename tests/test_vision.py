@@ -215,3 +215,42 @@ class TestVisionEnv:
         assert info["target_pixel"].shape == (4, 2)
         # the default world has visible geometry from spawn heights
         assert any((np.asarray(obs["pixels"][i]) > 0).sum() > 0 for i in range(4))
+
+
+class TestBatchedWorldRendering:
+    def test_per_env_worlds_move_targets_independently(self):
+        """World fields with leading env dims: each env's target renders at
+        its own position (regression: object offsets used to gather along
+        the env axis)."""
+        spec = make_spec()
+        bank = build_render_bank(spec)
+        world = build_world(spec, dtype=jnp.float64)
+        rig = small_rig()
+        N = 3
+        # batch the world: env i's target shifted by i meters in y
+        shift = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 1.5, 0.0], [0.0, -1.5, 0.0]])
+        bworld = world.replace(
+            sphere_center=world.sphere_center[None] + shift[:, None, :])
+        drone_pos = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 2.0]), (N, 3))
+        drone_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (N, 3, 3))
+        cam_pos, cam_R = jax.vmap(lambda p, r: camera_pose(rig, p, r))(
+            drone_pos, drone_R)
+        target_bank = bank_subset(bank, [0])
+        imgs = np.asarray(render_depth_image(rig, cam_pos, cam_R, target_bank,
+                                             world=bworld, max_depth=25.0))
+        # all three see the target, at different horizontal positions
+        cents = []
+        for i in range(N):
+            ys, xs = np.nonzero(imgs[i])
+            assert len(xs) > 0, f"env {i} lost the target"
+            cents.append(xs.mean())
+        assert not np.isclose(cents[0], cents[1], atol=2.0)
+        assert not np.isclose(cents[0], cents[2], atol=2.0)
+        # and each per-env image equals the unbatched render of that world
+        for i in range(N):
+            wi = world.replace(
+                sphere_center=world.sphere_center + shift[i])
+            ref = np.asarray(render_depth_image(
+                rig, cam_pos[i], cam_R[i], target_bank, world=wi,
+                max_depth=25.0))
+            np.testing.assert_array_equal(imgs[i], ref)
