@@ -16,3 +16,4 @@ from fpyv_tpu.world.generators import (  # noqa: F401
     ground_points,
 )
 from fpyv_tpu.world.render_bank import RenderBank, build_render_bank  # noqa: F401
+from fpyv_tpu.world.randomize import WorldRanges, sample_worlds  # noqa: F401

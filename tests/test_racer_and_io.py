@@ -161,3 +161,13 @@ class TestBankDownsample:
         assert small.num_objects == bank.num_objects
         # every object still has at least one point
         assert set(np.unique(small.point_obj)) == set(range(bank.num_objects))
+
+
+class TestSimCli:
+    def test_sim_command_headless(self):
+        r = TestCliE2e()._run("sim", "--steps", "40", "--render", "none",
+                              "--seed", "0")
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["steps"] >= 1
+        assert len(out["final_position"]) == 3
