@@ -206,3 +206,39 @@ class TestPointAndShootOptimizer:
             params.mass, params.thrust_curve.max_force)
         assert np.isfinite(float(f)) and np.isfinite(float(row))
         assert float(f) <= params.thrust_curve.max_force + 1e-6
+
+
+class TestPointAndShootOracleParity:
+    def test_sequence_matches_oracle(self, cfg):
+        """point_and_shoot vs the oracle port over a 40-call sequence with
+        shared PID/pixel-velocity state. The oracle caps its saturation loop
+        at the jax port's fixed 4 masked iterations (the reference's while
+        loop, uncapped, can spin arbitrarily; components.py:357-366)."""
+        from fpyv_tpu.control.guidance import point_and_shoot
+
+        params = DroneParams.from_config(cfg)
+        g = GuidanceParams.from_config(cfg, params)
+        rig = full_rig()
+        oracle = OracleDrone(cfg)
+        oracle.reset([0, 0, 8.0], [1.5, -0.5, 0.2], [0, 0, 10.0])
+
+        gs = guidance_init((), jnp.float64)
+        pos = jnp.asarray(oracle.pos)
+        vel = jnp.asarray(oracle.vel)
+        cam_pos, cam_R = camera_pose(rig, pos, jnp.asarray(oracle.R))
+        oracle.camera.update(oracle.pos, oracle.R)
+
+        rng = np.random.default_rng(5)
+        for step in range(40):
+            pixel = rng.uniform([100, 100], [540, 380])
+            action = rng.uniform(-0.6, 0.6, 4)
+            R_ref, f_ref = oracle.point_and_shoot(pixel, action, max_iters=4)
+            gs, R_jax, f_jax = point_and_shoot(
+                g, gs, rig, cam_R, jnp.asarray(pixel), jnp.asarray(action),
+                pos, vel, params.mass, params.thrust_curve.max_force,
+                params.dt)
+            np.testing.assert_allclose(np.asarray(R_jax), R_ref, atol=1e-8,
+                                       err_msg=f"step {step}")
+            np.testing.assert_allclose(float(f_jax), f_ref, atol=1e-8)
+            np.testing.assert_allclose(np.asarray(gs.pixel_velocity),
+                                       oracle.pixel_velocity, atol=1e-8)

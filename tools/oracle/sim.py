@@ -335,6 +335,8 @@ class OracleDrone:
         self.done = False
         self.camera.update(self.pos, self.R)
         self.force_multiplier_pid.reset()
+        self.pns_prev_pixel = None
+        self.pixel_velocity = np.zeros(2)
 
     def _drag(self, R, vel, wind):
         vsum = vel + wind
@@ -398,6 +400,49 @@ class OracleDrone:
         self.camera.update(self.pos, self.R)
         gyro = euler_to_R(*self.rates)  # deg/s-as-radians quirk (:247)
         return self.R.T, gyro, self.R @ self.accel
+
+    def point_and_shoot(self, pixel, action, mode="level", max_iters=None):
+        """components.py:312-381, ref_frame='world'. `max_iters` caps the
+        force-saturation loop (None = loop to convergence like the
+        reference's `while`; pass 4 to mirror the jax port's fixed count)."""
+        cfg = self.cfg
+        pns = cfg.point_and_shoot
+        res = np.asarray(cfg.camera.resolution, np.float64)
+        pixel = np.asarray(pixel, np.float64) + np.asarray(action[2:4]) * res / 2.0
+        if self.pns_prev_pixel is None:
+            self.pns_prev_pixel = pixel
+            self.pixel_velocity = np.zeros(2)
+        else:
+            self.pixel_velocity = (pixel - self.pns_prev_pixel) / self.dt
+            self.pns_prev_pixel = pixel
+        dir2target = self.camera.pixel2direction(pixel)
+        gravity = np.array([0.0, 0.0, -9.81 * self.mass])
+        vnorm = np.linalg.norm(self.vel)
+        vdot = (self.vel / vnorm) @ dir2target
+        vdrag = pns.virtual_drag_coefficient * (-(vdot - 1.0) / 2.0 * -self.vel * vnorm)
+        tof = pns.tof_effective_distance
+        vlift = ((self.pos[2] < tof) * -(tof - self.pos[2])
+                 * pns.virtual_lift_coefficient * gravity
+                 * -(np.clip(self.vel[2], a_min=-np.inf, a_max=0.0)))  # :345
+        screen_pos = (res / 2.0 * (1.0 + np.asarray(action[:2]))).astype(int)
+        mult = self.force_multiplier_pid(pixel[1], screen_pos[1])  # :350
+        force = mult * dir2target + vdrag + vlift - gravity
+        fnorm = np.linalg.norm(force)
+        criteria = 0.9999  # :356
+        iters = 0
+        while fnorm > self.max_force and (max_iters is None or iters < max_iters):
+            mult = np.clip(mult * criteria, self.force_multiplier_pid.min_output,
+                           self.force_multiplier_pid.max_output)
+            force = mult * dir2target + vdrag + vlift - gravity
+            fnorm = np.linalg.norm(force)
+            criteria = self.max_force / fnorm  # :362
+            iters += 1
+        second = gravity if mode == "level" else dir2target
+        y = np.cross(force, second)
+        x = np.cross(y, force)
+        R = np.stack([x, y, force], axis=1)
+        R = R / np.linalg.norm(R, axis=0)
+        return R, fnorm
 
     def calculate_needed_force_orientation(self, pixel, target_distance,
                                            mode="level"):
