@@ -7,3 +7,4 @@ from fpyv_tpu.utils.checkpoint import (  # noqa: F401
     save_checkpoint,
     latest_step,
 )
+from fpyv_tpu.utils.debug import assert_finite, finite_mask  # noqa: F401

@@ -76,3 +76,30 @@ class TestEvaluate:
                                 n_envs=16, n_steps=50)
         assert np.isfinite(float(stats["mean_step_reward"]))
         assert float(stats["crash_rate_per_step"]) >= 0.0
+
+
+class TestDebugGuards:
+    def test_finite_mask_flags_poisoned_envs(self):
+        from fpyv_tpu.utils.debug import finite_mask
+
+        tree = {"a": jnp.ones((4, 3)), "b": jnp.zeros((4,)),
+                "i": jnp.arange(4)}
+        tree["a"] = tree["a"].at[2, 1].set(jnp.nan)
+        tree["b"] = tree["b"].at[3].set(jnp.inf)
+        mask = np.asarray(finite_mask(tree))
+        np.testing.assert_array_equal(mask, [True, True, False, False])
+
+    def test_finite_mask_under_jit(self):
+        from fpyv_tpu.utils.debug import finite_mask
+
+        f = jax.jit(lambda t: finite_mask(t))
+        out = f({"x": jnp.ones((8, 2))})
+        assert np.asarray(out).all()
+
+    def test_assert_finite_names_leaves(self):
+        import pytest as _pytest
+        from fpyv_tpu.utils.debug import assert_finite
+
+        assert_finite({"ok": jnp.ones(3)})
+        with _pytest.raises(FloatingPointError, match="bad"):
+            assert_finite({"bad": jnp.asarray([1.0, jnp.nan])}, name="state")
