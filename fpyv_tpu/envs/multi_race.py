@@ -235,3 +235,31 @@ class MultiRaceEnv:
             "episode_return": ep_ret,
         }
         return next_state, self._obs(next_state, world), reward, env_done, info
+
+
+def make_shared_policy_env_step(env: MultiRaceEnv, world: Optional[World] = None,
+                                n_envs: int = 64):
+    """Adapter feeding the race env to a single shared-policy learner.
+
+    BASELINE config #5: the multi-agent race env "feeding PPO learner". All
+    agents share one policy: the learner sees a flat (n_envs * n_agents)
+    batch; env-level done broadcasts to every agent of that env (the race
+    resets as a whole). Returns (env_step, reset_fn) matching
+    fpyv_tpu.rl.ppo's env_step contract.
+    """
+    world = env.default_world() if world is None else world
+    A = env.n_agents
+
+    def reset_fn(key):
+        keys = jax.random.split(key, n_envs)
+        state, obs = jax.vmap(lambda k: env.reset(k, world))(keys)
+        return state, obs.reshape(n_envs * A, -1)
+
+    def env_step(env_state, action, key):
+        actions = action.reshape(n_envs, A, -1)
+        st, obs, reward, done, info = jax.vmap(
+            lambda s, a: env.step(s, a, world))(env_state, actions)
+        done_flat = jnp.repeat(done, A)
+        return st, obs.reshape(n_envs * A, -1), reward.reshape(-1), done_flat
+
+    return env_step, reset_fn

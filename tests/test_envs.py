@@ -303,3 +303,31 @@ class TestRandomizedWorlds:
             state, worlds)
         done = np.asarray(state.done)
         assert not done[0] and done[1], done
+
+
+class TestMultiRacePpo:
+    def test_shared_policy_learner_runs(self):
+        """BASELINE config #5 end-to-end: the multi-agent race env feeds the
+        PPO learner through the shared-policy adapter."""
+        from fpyv_tpu.envs.multi_race import (
+            MultiRaceEnv, make_shared_policy_env_step)
+        from fpyv_tpu.models.policy import ActorCritic
+        from fpyv_tpu.rl.ppo import PpoConfig, make_ppo
+
+        n_envs, A = 8, 3
+        env = MultiRaceEnv(n_agents=A)
+        env_step, reset_fn = make_shared_policy_env_step(env, n_envs=n_envs)
+        state0, obs0 = reset_fn(jax.random.key(0))
+        assert obs0.shape == (n_envs * A, env.obs_dim)
+
+        net = ActorCritic(action_dim=4, hidden=(32, 32))
+        params = net.init(jax.random.key(1), obs0[:1])
+        config = PpoConfig(num_envs=n_envs * A, num_steps=8,
+                           update_epochs=1, num_minibatches=2)
+        init, iteration = make_ppo(net.apply, env_step, config)
+        iteration = jax.jit(iteration)
+        st = init(params, state0, obs0, jax.random.key(2))
+        for _ in range(3):
+            st, info = iteration(st)
+        assert np.isfinite(float(np.asarray(info["loss"])))
+        assert np.isfinite(float(np.asarray(info["mean_reward"])))
