@@ -1,0 +1,58 @@
+"""API surface: every module imports; public symbols resolve; train CLI runs."""
+
+import importlib
+import json
+import pkgutil
+
+import numpy as np
+import pytest
+
+import fpyv_tpu
+
+
+def test_every_module_imports():
+    """Walk the whole package: no module may fail to import (gated hardware
+    deps must degrade, not explode)."""
+    failures = []
+    for info in pkgutil.walk_packages(fpyv_tpu.__path__, "fpyv_tpu."):
+        try:
+            importlib.import_module(info.name)
+        except Exception as e:  # noqa: BLE001
+            failures.append((info.name, repr(e)))
+    assert not failures, failures
+
+
+def test_top_level_exports():
+    from fpyv_tpu import config, envs, ops, physics, rl, parallel  # noqa: F401
+    from fpyv_tpu.envs import (  # noqa: F401
+        AcroEnv, BallEnv, GymAdapter, HoverEnv, MaComGridEnv, MultiRaceEnv,
+        RotateEnv, SensorAcroEnv, VisionAcroEnv)
+    from fpyv_tpu.physics import (  # noqa: F401
+        DroneParams, DroneState, RacerParams, ThrustCurve, World,
+        drone_reset, drone_step)
+    from fpyv_tpu.rl import (  # noqa: F401
+        PpoConfig, ReplayBuffer, SacConfig, compute_gae, make_ppo, make_sac)
+    from fpyv_tpu.world import (  # noqa: F401
+        RenderBank, WorldRanges, WorldSpec, build_world, icosphere,
+        sample_worlds)
+    from fpyv_tpu.utils import (  # noqa: F401
+        MetricsLogger, Throughput, assert_finite, finite_mask,
+        restore_checkpoint, save_checkpoint, timeit)
+
+
+class TestTrainCli:
+    def test_train_command_smoke(self, tmp_path):
+        """Tiny end-to-end train run through the CLI (CPU)."""
+        from tests.test_racer_and_io import TestCliE2e
+
+        r = TestCliE2e()._run(
+            "train", "--num-envs", "32", "--iterations", "2",
+            "--num-steps", "4", "--log-dir", str(tmp_path / "logs"),
+            "--checkpoint-dir", str(tmp_path / "ckpt"))
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["iterations"] == 2
+        assert np.isfinite(out["mean_reward_last"])
+        # checkpoint written
+        assert (tmp_path / "ckpt").exists()
+        assert (tmp_path / "logs" / "metrics.jsonl").exists()
