@@ -2,10 +2,12 @@
 
 The reference parses Betaflight/iNav blackbox `.BBL` files via the
 ``orangebox`` package into a DataFrame (src/utils/log_reader.py:6-20) as
-real-flight ground truth for tuning. ``orangebox`` is not in this image, so
-:func:`blackbox_parser` gates on it with a clear error; :func:`csv_log_reader`
-covers the common case of logs already decoded to CSV (Betaflight's
-blackbox_decode output), returning the same field-per-column layout.
+real-flight ground truth for tuning. :func:`blackbox_parser` decodes the
+binary format with the from-scratch native C++ decoder
+(native/blackbox/fpyv_blackbox.cpp via fpyv_tpu.io.blackbox_native) — no
+external dependency — falling back to ``orangebox`` if the native build is
+unavailable. :func:`csv_log_reader` covers logs already decoded to CSV
+(Betaflight's blackbox_decode output), same field-per-column layout.
 """
 
 from __future__ import annotations
@@ -16,19 +18,27 @@ from typing import Dict
 import numpy as np
 
 
-def blackbox_parser(path):
+def blackbox_parser(path, log_index: int = 0):
     """Parse a .BBL blackbox log into {field_name: np.ndarray}.
 
-    Requires the optional ``orangebox`` package (same dependency as the
-    reference); raises ImportError with install guidance when absent.
+    Uses the native C++ decoder; falls back to the optional ``orangebox``
+    package (the reference's dependency) when the native build fails.
     """
+    try:
+        from fpyv_tpu.io.blackbox_native import decode_blackbox
+
+        return {k: v.astype(np.float64) for k, v in
+                decode_blackbox(path, log_index).items()}
+    except RuntimeError:
+        pass  # native toolchain unavailable — try orangebox
+
     try:
         from orangebox import Parser  # type: ignore
     except ImportError as e:
         raise ImportError(
-            "blackbox_parser requires the 'orangebox' package (the same "
-            "optional dependency the reference uses). Decode the log to CSV "
-            "with blackbox_decode and use csv_log_reader instead."
+            "blackbox_parser needs the native decoder (g++) or the optional "
+            "'orangebox' package. Decode the log to CSV with blackbox_decode "
+            "and use csv_log_reader instead."
         ) from e
 
     parser = Parser.load(str(path))
