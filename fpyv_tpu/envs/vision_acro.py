@@ -27,7 +27,11 @@ from fpyv_tpu.physics.world import World
 from fpyv_tpu.vision.camera import CameraRig, camera_pose
 from fpyv_tpu.vision.renderer import render_depth_image, target_pixel_centroid
 from fpyv_tpu.world.generators import WorldSpec, build_world
-from fpyv_tpu.world.render_bank import RenderBank, build_render_bank
+from fpyv_tpu.world.render_bank import (
+    RenderBank,
+    bank_subset,
+    build_render_bank,
+)
 
 
 def default_vision_rig() -> CameraRig:
@@ -42,6 +46,12 @@ class VisionAcroEnv:
     acro: AcroEnv = field(default_factory=AcroEnv)
     rig: CameraRig = field(default_factory=default_vision_rig)
     max_depth: float = 25.0  # simulator.py:121's render_depth_image max_depth
+    # Render only the chased target by default — exactly what the reference's
+    # FPV chase loop draws (camera.render_depth_image([target]),
+    # simulator.py:102/127). The splat cost is linear in point count
+    # (BENCH.md), so the full-world bank (target_only=False) costs ~25x more
+    # at the default world's 4002 points vs the target's 162.
+    target_only: bool = True
 
     @property
     def params(self) -> DroneParams:
@@ -53,7 +63,10 @@ class VisionAcroEnv:
             from fpyv_tpu.config import FpyvConfig
 
             spec = WorldSpec.from_config(FpyvConfig().simulator, seed=seed)
-        return build_world(spec, dtype=self.acro.dtype), build_render_bank(spec)
+        bank = build_render_bank(spec)
+        if self.target_only and spec.targets:
+            bank = bank_subset(bank, [0])  # bank order: [targets..., ...]
+        return build_world(spec, dtype=self.acro.dtype), bank
 
     def _render(self, state: AcroState, world: World, bank: RenderBank):
         from fpyv_tpu.physics.drone import _att_to_rotmat
