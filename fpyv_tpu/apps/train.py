@@ -19,7 +19,7 @@ import numpy as np
 from fpyv_tpu.envs.acro import AcroEnv
 from fpyv_tpu.models.policy import ActorCritic
 from fpyv_tpu.physics.drone import DroneParams
-from fpyv_tpu.rl.ppo import PpoConfig, make_ppo
+from fpyv_tpu.rl.ppo import PpoConfig, make_ppo, scan_train
 from fpyv_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint, latest_step
 from fpyv_tpu.utils.metrics import MetricsLogger
 from fpyv_tpu.utils.profiling import Throughput
@@ -47,6 +47,7 @@ def train_acro(
     hidden=(128, 128),
     learning_rate: float = 3e-4,
     print_every: int = 10,
+    scan_chunk: int = 10,  # iterations per device call (amortizes dispatch)
 ) -> TrainResult:
     env = AcroEnv(params=DroneParams(att_mode="quat"), randomize=randomize)
     world = env.default_world()
@@ -80,7 +81,6 @@ def train_acro(
         state = shard_ppo_state(state, mesh)
     else:
         init, train_iteration = make_ppo(net.apply, env_step, config)
-        train_iteration = jax.jit(train_iteration)
         state = init(params, env_state, obs, k_train)
 
     start_iter = 0
@@ -93,22 +93,33 @@ def train_acro(
     meter = Throughput()
     first_reward = last_reward = float("nan")
 
-    for it in range(start_iter, start_iter + num_iterations):
-        state, info = train_iteration(state)
-        jax.block_until_ready(info["loss"])
-        reward = float(np.asarray(info["mean_reward"]))
-        if it == start_iter:
-            first_reward = reward
-            meter.reset()  # exclude the first iteration's jit compile
-        else:
-            meter.add(num_envs * num_steps)
-        last_reward = reward
-        logger.log(it, info)
-        if checkpoint_dir and (it + 1) % checkpoint_every == 0:
-            save_checkpoint(checkpoint_dir, it + 1, state)
+    # chunked scan: scan_chunk iterations per device call — per-call dispatch
+    # costs ~100 ms on this platform (BENCH.md), far more than the iterations
+    jit_scan = jax.jit(scan_train, static_argnums=(0, 2))
 
-    if checkpoint_dir:
-        save_checkpoint(checkpoint_dir, start_iter + num_iterations, state)
+    it = start_iter
+    end = start_iter + num_iterations
+    first_chunk = True
+    while it < end:
+        n = min(scan_chunk, end - it)
+        state, infos = jit_scan(train_iteration, state, n)
+        # ONE device->host transfer per chunk: per-scalar np.asarray() calls
+        # each cost a full tunnel round trip and would dwarf device time
+        infos = jax.device_get(infos)
+        rewards = np.asarray(infos["mean_reward"], np.float64)
+        if first_chunk:
+            first_reward = float(rewards[0])
+            meter.reset()  # exclude the compile chunk from throughput
+            first_chunk = False
+        else:
+            meter.add(num_envs * num_steps * n)
+        last_reward = float(rewards[-1])
+        for i in range(n):
+            logger.log(it + i, jax.tree.map(lambda x: x[i], infos))
+        it += n
+        if checkpoint_dir and (it % checkpoint_every == 0 or it == end):
+            save_checkpoint(checkpoint_dir, it, state)
+
     logger.close()
     return TrainResult(
         iterations=num_iterations,

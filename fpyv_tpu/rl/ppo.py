@@ -34,6 +34,13 @@ class PpoConfig:
     max_grad_norm: float = 0.5
     learning_rate: float = 3e-4
     axis_name: Optional[str] = None  # mesh axis for cross-device grad pmean
+    # Shuffle granularity in rows of the flattened (T*N) batch. Row gathers
+    # serialize on TPU (~1 element/cycle — the same bound as the vision
+    # scatter, BENCH.md), so exact per-row shuffling (=1) costs more than the
+    # whole backward pass. Blocks of consecutive rows move contiguously; the
+    # flattened layout is T-major, so one block = the SAME timestep across
+    # `shuffle_block` independent envs — statistically benign mixing.
+    shuffle_block: int = 64
 
 
 @struct.dataclass
@@ -156,17 +163,29 @@ def make_ppo(
         advantages, targets = flat(advantages), flat(targets)
         batch_size = config.num_steps * last_obs.shape[0]
         mb_size = batch_size // config.num_minibatches
+        block = max(1, config.shuffle_block)
+        if batch_size % (block * config.num_minibatches) != 0:
+            block = 1  # fall back to exact row shuffle for odd shapes
+        n_blocks = batch_size // block
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, kp = jax.random.split(key)
-            perm = jax.random.permutation(kp, batch_size)
+            perm = jax.random.permutation(kp, n_blocks)
+
+            def shuffle(x):
+                xb = x.reshape((n_blocks, block) + x.shape[1:])
+                return xb[perm].reshape((batch_size,) + x.shape[1:])
+
+            shuffled = jax.tree.map(shuffle, batch)
+            adv_sh, tgt_sh = shuffle(advantages), shuffle(targets)
 
             def minibatch(carry, idx):
                 params, opt_state = carry
-                mb_idx = jax.lax.dynamic_slice_in_dim(perm, idx * mb_size, mb_size)
-                mb = jax.tree.map(lambda x: x[mb_idx], batch)
-                mb_adv, mb_tgt = advantages[mb_idx], targets[mb_idx]
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, idx * mb_size, mb_size)
+                mb = jax.tree.map(sl, shuffled)
+                mb_adv, mb_tgt = sl(adv_sh), sl(tgt_sh)
                 (loss, metrics), grads = jax.value_and_grad(
                     _loss, has_aux=True)(params, mb, mb_adv, mb_tgt)
                 if config.axis_name is not None:
@@ -200,3 +219,18 @@ def make_ppo(
         return new_state, info
 
     return init, train_iteration
+
+
+def scan_train(train_iteration, state, num_iterations: int):
+    """Run many train iterations as ONE device program (lax.scan).
+
+    Per-call dispatch on this platform costs ~100 ms (BENCH.md) — orders of
+    magnitude more than a train iteration's device time — so hosts should
+    call chunked scans, not per-iteration jits. Returns (state, stacked
+    info) where each info leaf gains a leading (num_iterations,) axis.
+    """
+
+    def body(st, _):
+        return train_iteration(st)
+
+    return jax.lax.scan(body, state, None, length=num_iterations)
