@@ -89,6 +89,18 @@ def train_acro(
         state = restore_checkpoint(checkpoint_dir, start_iter, template=state)
         print(f"resumed from checkpoint at iteration {start_iter}")
 
+    return _train_loop(
+        state, train_iteration, num_envs=num_envs, num_steps=num_steps,
+        num_iterations=num_iterations, start_iter=start_iter,
+        scan_chunk=scan_chunk, log_dir=log_dir, print_every=print_every,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
+
+
+def _train_loop(state, train_iteration, *, num_envs, num_steps,
+                num_iterations, start_iter, scan_chunk, log_dir, print_every,
+                checkpoint_dir, checkpoint_every) -> TrainResult:
+    """The chunked host loop shared by every trainer in this module."""
     logger = MetricsLogger(log_dir, print_every=print_every)
     meter = Throughput()
     first_reward = last_reward = float("nan")
@@ -126,4 +138,79 @@ def train_acro(
         mean_reward_first=first_reward,
         mean_reward_last=last_reward,
         steps_per_second=meter.rate(),
+    )
+
+
+def train_vision(
+    num_envs: int = 1024,
+    num_iterations: int = 100,
+    num_steps: int = 32,
+    seed: int = 0,
+    log_dir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 50,
+    resume: bool = False,
+    randomize_worlds: bool = True,
+    rig=None,
+    learning_rate: float = 3e-4,
+    print_every: int = 10,
+    scan_chunk: int = 5,
+    num_minibatches: int = 8,
+) -> TrainResult:
+    """Pixels-to-action PPO: VisionAcroEnv depth observations through the
+    conv policy (PixelActorCritic), rendered inside the jitted rollout.
+
+    With ``randomize_worlds`` every env trains in its OWN randomized world
+    (one shared unit-geometry bank, per-env transforms from the batched
+    World — world/render_bank.py) for sim-to-real-style visual diversity.
+    """
+    from fpyv_tpu.envs.vision_acro import VisionAcroEnv
+    from fpyv_tpu.models.policy import PixelActorCritic
+
+    env = VisionAcroEnv(**({"rig": rig} if rig is not None else {}))
+    key = jax.random.key(seed)
+    k_world, k_env, k_net, k_train = jax.random.split(key, 4)
+    if randomize_worlds:
+        worlds, bank = env.make_randomized_worlds(k_world, num_envs)
+    else:
+        world, bank = env.make_world()
+        worlds = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), world)
+
+    net = PixelActorCritic(action_dim=4)
+    config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
+                       learning_rate=learning_rate,
+                       num_minibatches=num_minibatches)
+
+    def apply_fn(params, obs):
+        proprio = jnp.concatenate(
+            [obs["rates"], obs["accel_z"], obs["thrust"]], axis=-1)
+        return net.apply(params, obs["pixels"], proprio)
+
+    def env_step(env_state, action, key):
+        st, obs, reward, done, info = jax.vmap(
+            lambda s, a, w: env.step(s, a, w, bank))(env_state, action, worlds)
+        return st, obs, reward, info["crashed"]
+
+    env_keys = jax.random.split(k_env, num_envs)
+    env_state, obs = jax.vmap(
+        lambda k, w: env.reset(k, w, bank))(env_keys, worlds)
+    params = net.init(k_net, obs["pixels"][:1],
+                      jnp.concatenate([obs["rates"][:1], obs["accel_z"][:1],
+                                       obs["thrust"][:1]], axis=-1))
+
+    init, train_iteration = make_ppo(apply_fn, env_step, config)
+    state = init(params, env_state, obs, k_train)
+
+    start_iter = 0
+    if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
+        start_iter = latest_step(checkpoint_dir)
+        state = restore_checkpoint(checkpoint_dir, start_iter, template=state)
+        print(f"resumed from checkpoint at iteration {start_iter}")
+
+    return _train_loop(
+        state, train_iteration, num_envs=num_envs, num_steps=num_steps,
+        num_iterations=num_iterations, start_iter=start_iter,
+        scan_chunk=scan_chunk, log_dir=log_dir, print_every=print_every,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
     )

@@ -31,15 +31,23 @@ def _cmd_sim(args):
 
 
 def _cmd_train(args):
-    from fpyv_tpu.apps.train import train_acro
+    from fpyv_tpu.apps.train import train_acro, train_vision
 
-    res = train_acro(
-        num_envs=args.num_envs, num_iterations=args.iterations,
-        num_steps=args.num_steps, seed=args.seed,
-        distributed=args.distributed, log_dir=args.log_dir,
-        checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-        randomize=args.randomize,
-    )
+    if args.vision:
+        res = train_vision(
+            num_envs=args.num_envs, num_iterations=args.iterations,
+            num_steps=args.num_steps, seed=args.seed, log_dir=args.log_dir,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            randomize_worlds=args.randomize,
+        )
+    else:
+        res = train_acro(
+            num_envs=args.num_envs, num_iterations=args.iterations,
+            num_steps=args.num_steps, seed=args.seed,
+            distributed=args.distributed, log_dir=args.log_dir,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            randomize=args.randomize,
+        )
     print(json.dumps({
         "iterations": res.iterations,
         "mean_reward_first": res.mean_reward_first,
@@ -142,6 +150,8 @@ def main(argv=None):
     tp.add_argument("--seed", type=int, default=0)
     tp.add_argument("--distributed", action="store_true")
     tp.add_argument("--randomize", action="store_true")
+    tp.add_argument("--vision", action="store_true",
+                    help="pixels-to-action PPO on the vision env")
     tp.add_argument("--log-dir", default=None)
     tp.add_argument("--checkpoint-dir", default=None)
     tp.add_argument("--resume", action="store_true")

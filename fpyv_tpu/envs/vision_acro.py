@@ -30,6 +30,7 @@ from fpyv_tpu.world.generators import WorldSpec, build_world
 from fpyv_tpu.world.render_bank import (
     RenderBank,
     bank_subset,
+    build_dynamic_render_bank,
     build_render_bank,
 )
 
@@ -67,6 +68,31 @@ class VisionAcroEnv:
         if self.target_only and spec.targets:
             bank = bank_subset(bank, [0])  # bank order: [targets..., ...]
         return build_world(spec, dtype=self.acro.dtype), bank
+
+    def make_randomized_worlds(self, key, n_envs: int, n_spheres: int = 1,
+                               n_cylinders: int = 4,
+                               **sample_kwargs) -> Tuple[World, RenderBank]:
+        """Per-env randomized worlds + ONE shared dynamic render bank.
+
+        The bank carries unit geometry; every transform (position, radius,
+        cylinder size) is read from the batched World at render time, so
+        each env SEES its own randomized world — the device-side analog of
+        rebuilding the reference's object list per run. Resample the World
+        inside jit to re-randomize; the bank never changes.
+        """
+        from fpyv_tpu.world.randomize import sample_worlds
+
+        worlds = sample_worlds(key, n_envs, n_spheres=n_spheres,
+                               n_cylinders=n_cylinders,
+                               dtype=self.acro.dtype, **sample_kwargs)
+        if self.target_only:
+            bank = build_dynamic_render_bank(n_spheres=1, n_cylinders=0,
+                                             ground=None)
+        else:
+            bank = build_dynamic_render_bank(n_spheres=n_spheres,
+                                             n_cylinders=n_cylinders,
+                                             ground=None)
+        return worlds, bank
 
     def _render(self, state: AcroState, world: World, bank: RenderBank):
         from fpyv_tpu.physics.drone import _att_to_rotmat

@@ -6,7 +6,8 @@ north star: batched rollouts on sharded env banks feed a data-parallel
 learner whose gradients sync with ``psum`` over the mesh's env axis.
 """
 
-from fpyv_tpu.rl.ppo import PpoConfig, PpoState, make_ppo  # noqa: F401
+from fpyv_tpu.rl.ppo import PpoConfig, PpoState, make_ppo, scan_train  # noqa: F401
 from fpyv_tpu.rl.gae import compute_gae  # noqa: F401
 from fpyv_tpu.rl.sac import SacConfig, SacState, make_sac  # noqa: F401
 from fpyv_tpu.rl.replay import ReplayBuffer, replay_init  # noqa: F401
+from fpyv_tpu.rl.es import monte_carlo_search, policy_es  # noqa: F401

@@ -66,3 +66,57 @@ def monte_carlo_search(
     keys = jax.random.split(key, n_iterations)
     (x_best, s_best), _ = jax.lax.scan(body, (x0, sign * f(x0)), keys)
     return x_best, sign * s_best
+
+
+def policy_es(
+    key,
+    params,
+    fitness_fn: Callable,  # fitness_fn(params_pytree, key) -> scalar
+    n_perturbations: int = 32,
+    n_iterations: int = 100,
+    noise_std: float = 0.05,
+    learning_rate: float = 0.02,
+    common_randomness: bool = True,
+):
+    """Natural evolution strategies over a POLICY PARAM PYTREE.
+
+    The TPU-scale application of the reference's evolutionary-search sketch
+    (tests/monte_carlo_search.py) to RL: antithetic Gaussian perturbations
+    of the flattened params, fitness = rollout return (user-supplied,
+    typically a vmapped env rollout), centered-rank weighting (scale-free),
+    and an SGD step on the NES gradient estimate. One jittable scan; all
+    2*n_perturbations candidates evaluate in parallel per generation —
+    gradient-free learning for non-differentiable rewards.
+
+    Returns (trained params pytree, (n_iterations,) best-fitness history).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    theta0, unravel = ravel_pytree(params)
+    dim = theta0.shape[0]
+    P = n_perturbations
+
+    def centered_ranks(x):
+        # fitness -> ranks in [-0.5, 0.5] (OpenAI-ES utility transform)
+        ranks = jnp.argsort(jnp.argsort(x)).astype(theta0.dtype)
+        return ranks / (x.shape[0] - 1) - 0.5
+
+    def generation(theta, key_i):
+        k_noise, k_eval = jax.random.split(key_i)
+        eps = jax.random.normal(k_noise, (P, dim), theta0.dtype)
+        cand = jnp.concatenate(
+            [theta[None] + noise_std * eps, theta[None] - noise_std * eps])
+        # common random numbers: same eval episodes for every candidate in a
+        # generation, so fitness differences reflect the params, not the draw
+        eval_keys = (jnp.broadcast_to(k_eval, (2 * P,) + k_eval.shape)
+                     if common_randomness else jax.random.split(k_eval, 2 * P))
+        fits = jax.vmap(lambda c, k: fitness_fn(unravel(c), k))(
+            cand, eval_keys)
+        w = centered_ranks(fits)
+        grad = (w[:P] - w[P:]) @ eps / (P * noise_std)
+        theta = theta + learning_rate * grad
+        return theta, fits.max()
+
+    keys = jax.random.split(key, n_iterations)
+    theta, best_hist = jax.lax.scan(generation, theta0, keys)
+    return unravel(theta), best_hist

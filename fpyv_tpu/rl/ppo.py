@@ -161,7 +161,8 @@ def make_ppo(
 
         batch = jax.tree.map(flat, traj)
         advantages, targets = flat(advantages), flat(targets)
-        batch_size = config.num_steps * last_obs.shape[0]
+        # obs may be a pytree (e.g. {pixels, proprio} in the vision envs)
+        batch_size = config.num_steps * jax.tree.leaves(last_obs)[0].shape[0]
         mb_size = batch_size // config.num_minibatches
         block = max(1, config.shuffle_block)
         if batch_size % (block * config.num_minibatches) != 0:

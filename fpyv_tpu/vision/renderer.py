@@ -34,14 +34,109 @@ from fpyv_tpu.world.render_bank import RenderBank
 _PREC = "highest"
 
 
-def _object_positions(bank: RenderBank, world: Optional[World], dtype):
-    """(O, 3) dynamic object offsets: sphere centers from the physics world,
-    zero for objects whose points are baked absolute."""
-    if world is None or not bank.obj_is_sphere.any():
-        return jnp.zeros((bank.num_objects, 3), dtype)
-    centers = world.sphere_center[..., jnp.asarray(bank.obj_sphere_idx), :]
-    mask = jnp.asarray(bank.obj_is_sphere)[..., None]
-    return jnp.where(mask, centers.astype(dtype), 0.0)
+def _object_transforms(bank: RenderBank, world: Optional[World], dtype):
+    """Per-object world transforms: (offset, scale, rot).
+
+    offset: (..., O, 3); scale: (..., O, 3) or None when every object's
+    scale is baked; rot: (..., O, 3, 3) or None when no dynamic gates.
+    Leading dims come from batched (per-env) World fields — one dynamic
+    bank + one batched World renders a different world per env.
+    """
+    from fpyv_tpu.world.render_bank import SRC_CYLINDER, SRC_GATE, SRC_SPHERE
+
+    if world is None or (bank.obj_pos_source == 0).all():
+        return jnp.zeros((bank.num_objects, 3), dtype), None, None
+
+    src = jnp.asarray(bank.obj_pos_source)
+    idx = jnp.asarray(bank.obj_src_idx)
+
+    sph = jnp.take(world.sphere_center.astype(dtype),
+                   jnp.minimum(idx, world.num_spheres - 1), axis=-2)
+    offset = jnp.where((src == SRC_SPHERE)[..., None], sph, 0.0)
+    if (bank.obj_pos_source == SRC_CYLINDER).any():
+        cyl = jnp.take(world.cyl_center.astype(dtype),
+                       jnp.minimum(idx, world.num_cylinders - 1), axis=-2)
+        offset = jnp.where((src == SRC_CYLINDER)[..., None], cyl, offset)
+    if (bank.obj_pos_source == SRC_GATE).any():
+        gat = jnp.take(world.gate_pos.astype(dtype),
+                       jnp.minimum(idx, world.num_gates - 1), axis=-2)
+        offset = jnp.where((src == SRC_GATE)[..., None], gat, offset)
+
+    scale = rot = None
+    if bank.any_dynamic_scale:
+        dyn = jnp.asarray(bank.obj_dynamic_scale)
+        one = jnp.ones((), dtype)
+        r_s = jnp.take(world.sphere_radius.astype(dtype),
+                       jnp.minimum(idx, world.num_spheres - 1), axis=-1)
+        sx = sy = sz = jnp.where(dyn & (src == SRC_SPHERE), r_s, one)
+        if (bank.obj_pos_source == SRC_CYLINDER).any():
+            r_c = jnp.take(world.cyl_radius.astype(dtype),
+                           jnp.minimum(idx, world.num_cylinders - 1), axis=-1)
+            h_c = jnp.take(world.cyl_height.astype(dtype),
+                           jnp.minimum(idx, world.num_cylinders - 1), axis=-1)
+            is_cyl = dyn & (src == SRC_CYLINDER)
+            sx = jnp.where(is_cyl, r_c, sx)
+            sy = jnp.where(is_cyl, r_c, sy)
+            sz = jnp.where(is_cyl, h_c, sz)
+        if (bank.obj_pos_source == SRC_GATE).any():
+            g_s = jnp.take(world.gate_size.astype(dtype),
+                           jnp.minimum(idx, world.num_gates - 1), axis=-1)
+            is_gate = dyn & (src == SRC_GATE)
+            sx = jnp.where(is_gate, g_s, sx)
+            sy = jnp.where(is_gate, g_s, sy)
+            sz = jnp.where(is_gate, g_s, sz)
+        scale = jnp.stack([sx, sy, sz], axis=-1)
+    if bank.any_dynamic_rot:
+        g_R = jnp.take(world.gate_rotmat.astype(dtype),
+                       jnp.minimum(idx, world.num_gates - 1), axis=-3)
+        eye = jnp.eye(3, dtype=dtype)
+        is_gate = (jnp.asarray(bank.obj_dynamic_scale)
+                   & (src == SRC_GATE))[..., None, None]
+        rot = jnp.where(is_gate, g_R, eye)
+    return offset, scale, rot
+
+
+def _apply_transform(pts, offset, scale, rot):
+    """pts (..., M, 3) -> scale, rotate, translate (all aligned to the M
+    axis; scale/rot None = identity). Elementwise VPU math (no matmul)."""
+    if scale is not None:
+        pts = pts * scale
+    if rot is not None:
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        pts = jnp.stack(
+            [rot[..., 0, 0] * x + rot[..., 0, 1] * y + rot[..., 0, 2] * z,
+             rot[..., 1, 0] * x + rot[..., 1, 1] * y + rot[..., 1, 2] * z,
+             rot[..., 2, 0] * x + rot[..., 2, 1] * y + rot[..., 2, 2] * z],
+            axis=-1)
+    return pts + offset
+
+
+def _bank_geometry(rig: CameraRig, cam_pos, cam_R, bank: RenderBank,
+                   world: Optional[World], obj_active, prune: bool, dtype):
+    """World-space bank points + per-point validity (shared by the depth and
+    binary renderers)."""
+    base = jnp.asarray(bank.base_points, dtype)
+    point_obj = jnp.asarray(bank.point_obj)
+    offset, scale, rot = _object_transforms(bank, world, dtype)
+    points = _apply_transform(
+        base,
+        offset[..., point_obj, :],
+        None if scale is None else scale[..., point_obj, :],
+        None if rot is None else rot[..., point_obj, :, :],
+    )
+
+    keep = jnp.ones((bank.num_objects,), bool)
+    if obj_active is not None:
+        keep = keep & obj_active
+    if prune:
+        bbox_world = _apply_transform(
+            jnp.asarray(bank.bbox_base, dtype),
+            offset[..., :, None, :],
+            None if scale is None else scale[..., :, None, :],
+            None if rot is None else rot[..., :, None, :, :],
+        )
+        keep = keep & prune_objects(rig, cam_pos, cam_R, bbox_world)
+    return points, keep[..., point_obj]
 
 
 def _project(cam_pos, cam_R, K, points):
@@ -131,21 +226,10 @@ def render_depth_image(
 ) -> jnp.ndarray:
     """uint8 depth image(s) (..., H, W). Parity: components.py:614-629."""
     dtype = cam_pos.dtype
-    base = jnp.asarray(bank.base_points, dtype)
-    point_obj = jnp.asarray(bank.point_obj)
-    obj_pos = _object_positions(bank, world, dtype)  # (..., O, 3)
-    points = base + obj_pos[..., point_obj, :]  # (..., P, 3)
-
-    keep = jnp.ones((bank.num_objects,), bool)
-    if obj_active is not None:
-        keep = keep & obj_active
-    if prune:
-        bbox_world = jnp.asarray(bank.bbox_base, dtype) + obj_pos[..., :, None, :]
-        keep = keep & prune_objects(rig, cam_pos, cam_R, bbox_world)
-
+    points, valid = _bank_geometry(
+        rig, cam_pos, cam_R, bank, world, obj_active, prune, dtype)
     K = jnp.asarray(rig.K, dtype)
     u, v, depth = _project(cam_pos, cam_R, K, points)
-    valid = keep[..., point_obj]
     img = _splat_min(rig, u, v, depth, valid)
 
     img = jnp.minimum(img, max_depth)  # clip + empty(inf)->max_depth in one
@@ -163,21 +247,10 @@ def render_binary_image(
 ) -> jnp.ndarray:
     """Binary hit image (..., H, W) float32 {0, 1}. Parity: components.py:602-612."""
     dtype = cam_pos.dtype
-    base = jnp.asarray(bank.base_points, dtype)
-    point_obj = jnp.asarray(bank.point_obj)
-    obj_pos = _object_positions(bank, world, dtype)
-    points = base + obj_pos[..., point_obj, :]
-
-    keep = jnp.ones((bank.num_objects,), bool)
-    if obj_active is not None:
-        keep = keep & obj_active
-    if prune:
-        bbox_world = jnp.asarray(bank.bbox_base, dtype) + obj_pos[..., :, None, :]
-        keep = keep & prune_objects(rig, cam_pos, cam_R, bbox_world)
-
+    points, valid = _bank_geometry(
+        rig, cam_pos, cam_R, bank, world, obj_active, prune, dtype)
     K = jnp.asarray(rig.K, dtype)
     u, v, depth = _project(cam_pos, cam_R, K, points)
-    valid = keep[..., point_obj]
     img = _splat_min(rig, u, v, depth, valid)
     return (jnp.isfinite(img)).astype(jnp.float32)
 

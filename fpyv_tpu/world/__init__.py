@@ -15,5 +15,9 @@ from fpyv_tpu.world.generators import (  # noqa: F401
     gate_corners,
     ground_points,
 )
-from fpyv_tpu.world.render_bank import RenderBank, build_render_bank  # noqa: F401
+from fpyv_tpu.world.render_bank import (  # noqa: F401
+    RenderBank,
+    build_dynamic_render_bank,
+    build_render_bank,
+)
 from fpyv_tpu.world.randomize import WorldRanges, sample_worlds  # noqa: F401

@@ -56,3 +56,19 @@ class TestTrainCli:
         # checkpoint written
         assert (tmp_path / "ckpt").exists()
         assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+class TestTrainVision:
+    def test_train_vision_smoke(self, tmp_path):
+        """Pixels-to-action PPO: tiny run on per-env randomized worlds."""
+        from fpyv_tpu.apps.train import train_vision
+        from fpyv_tpu.vision.camera import CameraRig
+
+        rig = CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
+                        fov_deg=120.0, resolution=(32, 24))
+        res = train_vision(num_envs=8, num_iterations=2, num_steps=4,
+                           rig=rig, num_minibatches=2, scan_chunk=2,
+                           log_dir=str(tmp_path / "logs"))
+        assert res.iterations == 2
+        assert np.isfinite(res.mean_reward_last)
+        assert (tmp_path / "logs" / "metrics.jsonl").exists()

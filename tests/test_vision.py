@@ -254,3 +254,110 @@ class TestBatchedWorldRendering:
                 rig, cam_pos[i], cam_R[i], target_bank, world=wi,
                 max_depth=25.0))
             np.testing.assert_array_equal(imgs[i], ref)
+
+
+class TestDynamicBank:
+    """Per-env randomized worlds from ONE unit-geometry bank: the World
+    supplies every transform (position/scale/rotation) at render time."""
+
+    def _env_params(self):
+        # two envs with deliberately different worlds
+        return [
+            dict(sphere=([4.0, 0.0, 2.0], 0.8),
+                 cyl=([2.0, 3.0, 0.0], 1.0, 5.0),
+                 gate=([6.0, -2.0, 1.0], 0.3, 2.0)),
+            dict(sphere=([3.0, 1.0, 2.5], 1.3),
+                 cyl=([1.0, -2.0, 0.0], 2.0, 8.0),
+                 gate=([5.0, 2.0, 1.5], -0.5, 3.0)),
+        ]
+
+    def _spec_for(self, p):
+        from fpyv_tpu.world.generators import euler_z
+
+        return WorldSpec(
+            targets=[TargetSpec(position=np.asarray(p["sphere"][0]),
+                                radius=p["sphere"][1], nu=2, path=None)],
+            cylinders=[CylinderSpec(position=np.asarray(p["cyl"][0]),
+                                    radius=p["cyl"][1], height=p["cyl"][2],
+                                    angle_resolution=10, height_resolution=10,
+                                    random=False)],
+            gates=[GateSpec(position=np.asarray(p["gate"][0]),
+                            rotmat=euler_z(p["gate"][1]), size=p["gate"][2],
+                            shape="rectangle", resolution=17)],
+            ground=None,
+        )
+
+    def test_dynamic_bank_matches_static_bake(self):
+        """Batched dynamic render row i == static per-env bank render i."""
+        from fpyv_tpu.world.render_bank import build_dynamic_render_bank
+
+        params = self._env_params()
+        worlds = [build_world(self._spec_for(p), dtype=jnp.float64)
+                  for p in params]
+        bworld = jax.tree.map(lambda *x: jnp.stack(x), *worlds)
+        dyn_bank = build_dynamic_render_bank(
+            n_spheres=1, n_cylinders=1, n_gates=1,
+            gate_shapes=("rectangle",))
+
+        rig = small_rig()
+        N = len(params)
+        drone_pos = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 2.0]), (N, 3))
+        drone_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (N, 3, 3))
+        cam_pos, cam_R = jax.vmap(lambda p, r: camera_pose(rig, p, r))(
+            drone_pos, drone_R)
+        imgs = np.asarray(render_depth_image(rig, cam_pos, cam_R, dyn_bank,
+                                             world=bworld, max_depth=25.0))
+        for i, p in enumerate(params):
+            static_bank = build_render_bank(self._spec_for(p))
+            ref = np.asarray(render_depth_image(
+                rig, cam_pos[i], cam_R[i], static_bank, world=worlds[i],
+                max_depth=25.0))
+            assert (ref > 0).sum() > 20, f"env {i} scene not visible"
+            mismatch = (imgs[i] != ref).sum()
+            # unit-scale geometry matches the static bake to float rounding;
+            # allow a handful of boundary pixels to flip
+            assert mismatch <= ref.size * 1e-3, (
+                f"env {i}: {mismatch}/{ref.size} pixels differ")
+
+    def test_dynamic_bank_under_vmap(self):
+        """vmap over (pose, world) — the trainer's layout — agrees with the
+        broadcast path."""
+        from fpyv_tpu.world.render_bank import build_dynamic_render_bank
+
+        params = self._env_params()
+        worlds = [build_world(self._spec_for(p), dtype=jnp.float64)
+                  for p in params]
+        bworld = jax.tree.map(lambda *x: jnp.stack(x), *worlds)
+        dyn_bank = build_dynamic_render_bank(
+            n_spheres=1, n_cylinders=1, n_gates=1, gate_shapes=("rectangle",))
+        rig = small_rig()
+        N = len(params)
+        drone_pos = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 2.0]), (N, 3))
+        drone_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float64), (N, 3, 3))
+        cam_pos, cam_R = jax.vmap(lambda p, r: camera_pose(rig, p, r))(
+            drone_pos, drone_R)
+        broadcast = np.asarray(render_depth_image(
+            rig, cam_pos, cam_R, dyn_bank, world=bworld, max_depth=25.0))
+        vmapped = np.asarray(jax.vmap(
+            lambda cp, cr, w: render_depth_image(
+                rig, cp, cr, dyn_bank, world=w, max_depth=25.0))(
+                    cam_pos, cam_R, bworld))
+        np.testing.assert_array_equal(broadcast, vmapped)
+
+    def test_randomized_vision_env(self):
+        """VisionAcroEnv end to end on per-env randomized worlds."""
+        from fpyv_tpu.envs.vision_acro import VisionAcroEnv
+
+        env = VisionAcroEnv()
+        N = 4
+        worlds, bank = env.make_randomized_worlds(jax.random.key(3), N)
+        keys = jax.random.split(jax.random.key(0), N)
+        state, obs = jax.vmap(lambda k, w: env.reset(k, w, bank))(keys, worlds)
+        assert obs["pixels"].shape == (N, 72, 96)
+        a = jnp.zeros((N, 4)).at[:, 3].set(-0.6)
+        state, obs, r, d, info = jax.vmap(
+            lambda s, aa, w: env.step(s, aa, w, bank))(state, a, worlds)
+        assert np.isfinite(np.asarray(r)).all()
+        # per-env worlds: at least two envs should see different images
+        imgs = np.asarray(obs["pixels"])
+        assert any(not np.array_equal(imgs[0], imgs[i]) for i in range(1, N))
