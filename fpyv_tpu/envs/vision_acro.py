@@ -53,6 +53,10 @@ class VisionAcroEnv:
     # (BENCH.md), so the full-world bank (target_only=False) costs ~25x more
     # at the default world's 4002 points vs the target's 162.
     target_only: bool = True
+    # "splat": reference-parity point z-buffer (vision/renderer.py).
+    # "raycast": analytic ray-primitive depths (vision/raycast.py) — solid
+    # silhouettes, zero scatter, much faster on TPU; same camera geometry.
+    renderer: str = "splat"
 
     @property
     def params(self) -> DroneParams:
@@ -99,6 +103,18 @@ class VisionAcroEnv:
 
         R = _att_to_rotmat(self.params, state.drone.att)
         cam_pos, cam_R = camera_pose(self.rig, state.drone.pos, R)
+        if self.renderer == "raycast":
+            from fpyv_tpu.vision.raycast import render_depth_raycast
+
+            include = ("spheres", "cylinders", "ground", "gates")
+            if self.target_only:  # chased target (sphere 0) only
+                include = ("spheres",)
+                mask = jnp.zeros_like(world.sphere_active).at[..., 0].set(True)
+                world = world.replace(
+                    sphere_active=world.sphere_active & mask)
+            return render_depth_raycast(self.rig, cam_pos, cam_R, world,
+                                        max_depth=self.max_depth,
+                                        include=include)
         return render_depth_image(self.rig, cam_pos, cam_R, bank, world=world,
                                   max_depth=self.max_depth)
 
