@@ -3,16 +3,25 @@
 Same loop shape (simulator.py:83-177): world build -> per-step target
 update -> render the chased target's depth image -> extract its pixel
 centroid -> pixel-guidance override -> physics step -> render. Differences
-by design: the physics+render step is one jitted function; rendering modes
-are 'none' (headless), '2d' (FPV depth + HUD via cv2 when available, else
-saved frames), '3d' (matplotlib world view); input is the native Linux
-joystick when present, else a scripted action (the reference's hard-coded
-``[-0.1, 0, 0, 0]``, simulator.py:89).
+by design: the physics+render step is one jitted function, and — unlike the
+reference's per-step Python loop — steps run in CHUNKED ``lax.scan``
+device programs (per-call dispatch costs ~100 ms on a tunneled platform,
+BENCH.md; a per-step host loop never amortizes it).  Each chunk advances
+``chunk`` steps and returns stacked per-step state (plus the FPV frames in
+'2d' mode, rendered inside the scan); the host only inspects crash flags
+and feeds displays between chunks.  The joystick path stays per-step — a
+human in the loop needs per-step host reads at 60 FPS, which direct-attached
+hardware sustains easily.
+
+Rendering modes are 'none' (headless), '2d' (FPV depth + HUD via cv2 when
+available, else saved frames), '3d' (matplotlib world view); input is the
+native Linux joystick when present, else a scripted action (the reference's
+hard-coded ``[-0.1, 0, 0, 0]``, simulator.py:89).
 """
 
 from __future__ import annotations
 
-import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -42,6 +51,7 @@ def run_simulator(
     seed: int = 0,
     max_depth: float = 25.0,
     frame_sink=None,  # callable(np.uint8 frame) for testing/recording
+    chunk: Optional[int] = None,  # steps per device call; None = auto
 ) -> dict:
     cfg = cfg or FpyvConfig()
     params = DroneParams.from_config(cfg)
@@ -74,7 +84,6 @@ def run_simulator(
             print("Joystick device was not found")  # components.py:80
             joystick = None
 
-    @jax.jit
     def sim_step(state, gs, world, action):
         world = update_targets(world)
         R = _att_to_rotmat(params, state.att)
@@ -99,12 +108,29 @@ def run_simulator(
             state, _ = drone_step(params, state, action, world, wind)
         return state, gs, world
 
-    @jax.jit
-    def render_frame(state, world):
+    def render_frame_fn(state, world):
         R = _att_to_rotmat(params, state.att)
         cam_pos, cam_R = camera_pose(rig, state.pos, R)
         return render_depth_image(rig, cam_pos, cam_R, bank, world=world,
                                   max_depth=max_depth)
+
+    with_frames = render == "2d"
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def sim_chunk(state, gs, world, n, action):
+        """n sim steps as ONE device program; stacks per-step outputs."""
+
+        def body(carry, _):
+            state, gs, world = carry
+            state, gs, world = sim_step(state, gs, world, action)
+            out = (state.pos, state.vel, state.done)
+            if with_frames:  # FPV full-world depth view (simulator.py:122)
+                out = out + (render_frame_fn(state, world),)
+            return (state, gs, world), out
+
+        return jax.lax.scan(body, (state, gs, world), None, length=n)
+
+    jit_step = jax.jit(sim_step)
 
     cv2 = None
     if render == "2d":
@@ -126,41 +152,88 @@ def run_simulator(
 
         ax, fig = init_3d_axis()
 
-    t = 0
-    for t in range(steps):
-        if joystick is not None:
+    def show_2d(frame_u8, pos, vel):
+        from fpyv_tpu.viz.hud import hud_overlay
+
+        dist = float(np.linalg.norm(
+            np.asarray(world.sphere_center[target_idx]) - pos))
+        frame = hud_overlay(frame_u8, dist_to_target=dist,
+                            speed_ms=float(np.linalg.norm(vel)),
+                            height_m=float(pos[2]))
+        if frame_sink is not None:
+            frame_sink(frame)
+        if cv2 is not None:
+            cv2.imshow("img", frame)
+            return cv2.waitKey(1) & 0xFF == ord("q")
+        return False
+
+    default_action = jnp.asarray([-0.1, 0.0, 0.0, 0.0], jnp.float32)  # :89
+
+    done_steps = 0
+    crashed = False
+    final_pos = np.asarray(state.pos)
+    final_vel = np.asarray(state.vel)
+
+    if joystick is not None:
+        # interactive: per-step host loop (stick reads can't be scanned)
+        for t in range(steps):
             action = jnp.asarray(joystick.read_action(), jnp.float32)
-        else:
-            action = jnp.asarray([-0.1, 0.0, 0.0, 0.0], jnp.float32)  # :89
-        state, gs, world = sim_step(state, gs, world, action)
-        if bool(state.done):
-            print("Crashed")  # simulator.py:92
-            break
-        if render == "2d" and t % 2 == 0:  # :164
-            frame = np.asarray(render_frame(state, world))
-            from fpyv_tpu.viz.hud import hud_overlay
-
-            dist = float(np.linalg.norm(
-                np.asarray(world.sphere_center[target_idx]) - np.asarray(state.pos)))
-            frame = hud_overlay(frame, dist_to_target=dist,
-                                speed_ms=float(np.linalg.norm(np.asarray(state.vel))),
-                                height_m=float(state.pos[2]))
-            if frame_sink is not None:
-                frame_sink(frame)
-            if cv2 is not None:
-                cv2.imshow("img", frame)
-                if cv2.waitKey(1) & 0xFF == ord("q"):
+            state, gs, world = jit_step(state, gs, world, action)
+            done_steps = t + 1
+            if bool(state.done):
+                crashed = True
+                print("Crashed")  # simulator.py:92
+                break
+            if render == "2d" and t % 2 == 0:  # :164
+                frame = np.asarray(render_frame_fn(state, world))
+                if show_2d(frame, np.asarray(state.pos), np.asarray(state.vel)):
                     break
-        elif render == "3d" and t % 3 == 0:  # :113
-            from fpyv_tpu.viz.render3d import render_drone, show_plot
+            elif render == "3d" and t % 3 == 0:  # :113
+                from fpyv_tpu.viz.render3d import render_drone, show_plot
 
-            ax.clear()
-            render_drone(ax, state, params)
-            show_plot(ax, fig, middle=np.asarray(state.pos), edge=5)
+                ax.clear()
+                render_drone(ax, state, params)
+                show_plot(ax, fig, middle=np.asarray(state.pos), edge=5)
+        final_pos = np.asarray(state.pos)
+        final_vel = np.asarray(state.vel)
+    else:
+        # scripted: chunked scans — ~1 dispatch per `chunk` steps
+        if chunk is None:
+            chunk = 60 if render != "none" else 512
+        t0 = 0
+        while t0 < steps and not crashed:
+            n = min(chunk, steps - t0)
+            (state, gs, world), outs = sim_chunk(state, gs, world, n,
+                                                 default_action)
+            outs = jax.device_get(outs)  # one host transfer per chunk
+            pos_h, vel_h, done_h = outs[0], outs[1], outs[2]
+            frames_h = outs[3] if with_frames else None
+            idx = int(np.argmax(done_h)) if bool(done_h.any()) else n - 1
+            if bool(done_h[idx]):
+                crashed = True
+                print("Crashed")  # simulator.py:92
+            done_steps = t0 + idx + 1
+            final_pos, final_vel = pos_h[idx], vel_h[idx]
+            for i in range(0, idx + 1):
+                t = t0 + i
+                if render == "2d" and t % 2 == 0:  # :164
+                    if show_2d(frames_h[i], pos_h[i], vel_h[i]):
+                        t0 = steps
+                        break
+                elif render == "3d" and t % 3 == 0:  # :113
+                    from fpyv_tpu.viz.render3d import plot_3d_points, show_plot
+
+                    # chunked mode draws the position trail per displayed
+                    # step (full drone triads need per-step attitude, which
+                    # the chunk doesn't stack — use joystick mode for that)
+                    ax.clear()
+                    plot_3d_points(ax, pos_h[: i + 1])
+                    show_plot(ax, fig, middle=pos_h[i], edge=5)
+            t0 += n
 
     return {
-        "steps": t + 1,
-        "crashed": bool(state.done),
-        "final_position": np.asarray(state.pos),
-        "final_velocity": np.asarray(state.vel),
+        "steps": done_steps,
+        "crashed": crashed,
+        "final_position": final_pos,
+        "final_velocity": final_vel,
     }

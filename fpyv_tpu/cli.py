@@ -130,7 +130,22 @@ def _cmd_hover_time(args):
     }))
 
 
+def _pin_platform():
+    """Honor JAX_PLATFORMS even when the image's sitecustomize pre-imported
+    jax with a platform already pinned (the env var is only read at import,
+    so subprocess callers setting it were silently ignored — the config
+    update always wins, tests/conftest.py)."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None):
+    _pin_platform()
     p = argparse.ArgumentParser(prog="fpyv_tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
 

@@ -56,7 +56,20 @@ class VisionAcroEnv:
     # "splat": reference-parity point z-buffer (vision/renderer.py).
     # "raycast": analytic ray-primitive depths (vision/raycast.py) — solid
     # silhouettes, zero scatter, much faster on TPU; same camera geometry.
+    # Known corner-case divergences between the two (deliberate): with
+    # target_only=True and a zero-target world the splat path keeps the full
+    # bank (make_world's `if spec.targets` guard) while raycast emits blank
+    # frames; raycast ground is an infinite plane unless `ground_extent`
+    # clips it to the splat bank's finite point-cloud footprint.
     renderer: str = "splat"
+    # Half-extent (m) clipping the raycast ground plane to |x|,|y| <= extent,
+    # matching the splat ground cloud's finite size; None = infinite plane.
+    ground_extent: Optional[float] = None
+
+    def __post_init__(self):
+        if self.renderer not in ("splat", "raycast"):
+            raise ValueError(
+                f"renderer must be 'splat' or 'raycast', got {self.renderer!r}")
 
     @property
     def params(self) -> DroneParams:
@@ -114,7 +127,8 @@ class VisionAcroEnv:
                     sphere_active=world.sphere_active & mask)
             return render_depth_raycast(self.rig, cam_pos, cam_R, world,
                                         max_depth=self.max_depth,
-                                        include=include)
+                                        include=include,
+                                        ground_extent=self.ground_extent)
         return render_depth_image(self.rig, cam_pos, cam_R, bank, world=world,
                                   max_depth=self.max_depth)
 

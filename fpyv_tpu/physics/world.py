@@ -55,6 +55,7 @@ class World:
     gate_rotmat: jnp.ndarray  # (G, 3, 3)
     gate_size: jnp.ndarray  # (G,)
     gate_active: jnp.ndarray  # (G,) bool
+    gate_shape: jnp.ndarray  # (G,) int32: 0 rectangle, 1 circle, 2 half_circle
     # Ground plane z=0
     has_ground: jnp.ndarray  # () bool
 
@@ -93,8 +94,12 @@ def empty_world(n_spheres: int = 0, n_cylinders: int = 0, n_gates: int = 0,
         gate_rotmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (G, 3, 3)),
         gate_size=jnp.ones((G,), dtype),
         gate_active=jnp.zeros((G,), bool).at[:n_gates].set(n_gates > 0),
+        gate_shape=jnp.zeros((G,), jnp.int32),
         has_ground=jnp.asarray(ground),
     )
+
+
+GATE_SHAPES = ("rectangle", "circle", "half_circle")  # gate_shape codes 0/1/2
 
 
 # ---------------------------------------------------------------------------

@@ -48,11 +48,13 @@ def replay_add_batch(buf: ReplayBuffer, obs, action, reward, next_obs,
     n = obs.shape[0]
     cap = buf.capacity
     idx = jnp.mod(buf.ptr + jnp.arange(n, dtype=jnp.int32), cap)
+    # explicit casts: scatter with mismatched dtypes (e.g. f64 values under
+    # x64 tests into the f32 buffer) is a FutureWarning on its way to an error
     return buf.replace(
-        obs=buf.obs.at[idx].set(obs),
-        action=buf.action.at[idx].set(action),
-        reward=buf.reward.at[idx].set(reward),
-        next_obs=buf.next_obs.at[idx].set(next_obs),
+        obs=buf.obs.at[idx].set(obs.astype(buf.obs.dtype)),
+        action=buf.action.at[idx].set(action.astype(buf.action.dtype)),
+        reward=buf.reward.at[idx].set(reward.astype(buf.reward.dtype)),
+        next_obs=buf.next_obs.at[idx].set(next_obs.astype(buf.next_obs.dtype)),
         done=buf.done.at[idx].set(done.astype(buf.done.dtype)),
         ptr=jnp.mod(buf.ptr + n, cap),
         size=jnp.minimum(buf.size + n, cap),

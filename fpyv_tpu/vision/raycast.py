@@ -129,26 +129,36 @@ def _ray_cylinders(cam_pos, d, centers, radii, heights, active):
     return t_min
 
 
-def _ray_ground(cam_pos, d, has_ground):
-    """z=0 plane hit."""
+def _ray_ground(cam_pos, d, has_ground, extent: Optional[float] = None):
+    """z=0 plane hit. With `extent`, hits are clipped to |x|,|y| <= extent —
+    the splat ground is a finite point cloud of that half-extent
+    (world/render_bank.py), so clipping restores silhouette parity near the
+    horizon; default None keeps the infinite plane (denser RL signal)."""
     dz = d[..., 2, :, :]
     camz = cam_pos[..., 2, None, None]
     safe = jnp.where(jnp.abs(dz) > 1e-20, dz, 1e-20)
     t = -camz / safe
     ok = (t > 0) & (jnp.abs(dz) > 1e-20)
+    if extent is not None:
+        hx = cam_pos[..., 0, None, None] + t * d[..., 0, :, :]
+        hy = cam_pos[..., 1, None, None] + t * d[..., 1, :, :]
+        ok = ok & (jnp.abs(hx) <= extent) & (jnp.abs(hy) <= extent)
     if has_ground is not None:
         ok = ok & jnp.asarray(has_ground)[..., None, None]
     return jnp.where(ok, t, _BIG)
 
 
-def _ray_gates(cam_pos, d, pos, rotmat, size, active,
+def _ray_gates(cam_pos, d, pos, rotmat, size, active, shape,
                frame_width: float = 0.08):
     """Gate frames as thin bands on the gate plane (normal = R[:,0],
-    world/generators.py:71-88's local frame).  Rectangle outline ->
-    square band |max(|y|,|z|) - s/2| <= w; a circle shape would be an
-    annulus — the band test below covers the rectangle/overall silhouette,
-    which is what the RL gate observation needs (the splat path remains the
-    parity renderer for exact polylines)."""
+    world/generators.py:71-88's local frame), shape-aware per gate
+    (World.gate_shape): 0 rectangle -> square band
+    |max(|y|,|z|) - s/2| <= w; 1 circle -> annulus of radius s/2 about the
+    gate origin; 2 half_circle -> upper semicircular arc of radius s about
+    (0, -s/2) plus the closing bottom chord — exactly the outlines
+    ``gate_corners`` polylines trace (components.py:790-805), thickened to
+    ``frame_width``.  The splat path remains the parity renderer for the
+    exact splatted polyline dots."""
     dx, dy, dz = d[..., 0, :, :], d[..., 1, :, :], d[..., 2, :, :]
     t_min = jnp.full(dx.shape, _BIG, dx.dtype)
     G = pos.shape[-2]
@@ -169,9 +179,24 @@ def _ray_gates(cam_pos, d, pos, rotmat, size, active,
               + R[..., 2, 1, None, None] * hz)
         lz = (R[..., 0, 2, None, None] * hx + R[..., 1, 2, None, None] * hy
               + R[..., 2, 2, None, None] * hz)
-        half = size[..., g, None, None] / 2.0
-        ring = jnp.maximum(jnp.abs(ly), jnp.abs(lz))
-        on_frame = jnp.abs(ring - half) <= frame_width
+        s = size[..., g, None, None]
+        half = s / 2.0
+        # rectangle: square outline of half-extent s/2 (gate_corners:75-77)
+        on_rect = jnp.abs(jnp.maximum(jnp.abs(ly), jnp.abs(lz)) - half) \
+            <= frame_width
+        # circle: ring of radius s/2 about the origin (coef=2, :79-81)
+        rr = jnp.sqrt(ly * ly + lz * lz)
+        on_circ = jnp.abs(rr - half) <= frame_width
+        # half_circle: radius-s upper arc about (0, -s/2) (coef=1 + the
+        # -s/2 z shift, :79-85) + the closing chord vstack adds (:88)
+        cz = lz + half
+        ra = jnp.sqrt(ly * ly + cz * cz)
+        on_arc = (jnp.abs(ra - s) <= frame_width) & (cz >= -frame_width)
+        on_chord = (jnp.abs(cz) <= frame_width) & (jnp.abs(ly) <= s + frame_width)
+        on_half = on_arc | on_chord
+        code = shape[..., g, None, None]
+        on_frame = jnp.where(code == 1, on_circ,
+                             jnp.where(code == 2, on_half, on_rect))
         ok = (t > 0) & on_frame & (jnp.abs(ndotd) > 1e-20)
         if active is not None:
             ok = ok & active[..., g, None, None]
@@ -185,6 +210,7 @@ def raycast_depth(
     cam_R: jnp.ndarray,  # (..., 3, 3)
     world: World,
     include: Tuple[str, ...] = ("spheres", "cylinders", "ground", "gates"),
+    ground_extent: Optional[float] = None,
 ) -> jnp.ndarray:
     """Raw nearest-hit camera-z depth (..., H, W); _BIG where empty."""
     dtype = cam_pos.dtype
@@ -200,12 +226,13 @@ def raycast_depth(
             world.cyl_radius.astype(dtype), world.cyl_height.astype(dtype),
             world.cyl_active))
     if "ground" in include:
-        t = jnp.minimum(t, _ray_ground(cam_pos, d, world.has_ground))
+        t = jnp.minimum(t, _ray_ground(cam_pos, d, world.has_ground,
+                                       extent=ground_extent))
     if "gates" in include and world.num_gates:
         t = jnp.minimum(t, _ray_gates(
             cam_pos, d, world.gate_pos.astype(dtype),
             world.gate_rotmat.astype(dtype), world.gate_size.astype(dtype),
-            world.gate_active))
+            world.gate_active, world.gate_shape))
     return t
 
 
@@ -216,10 +243,12 @@ def render_depth_raycast(
     world: World,
     max_depth: float = 10.0,
     include: Tuple[str, ...] = ("spheres", "cylinders", "ground", "gates"),
+    ground_extent: Optional[float] = None,
 ) -> jnp.ndarray:
     """uint8 depth image(s) (..., H, W), same encoding as the splat
     renderer / reference (components.py:626-628): empty -> max_depth,
     ``255*(1 - z/max_depth)``."""
-    t = raycast_depth(rig, cam_pos, cam_R, world, include)
+    t = raycast_depth(rig, cam_pos, cam_R, world, include,
+                      ground_extent=ground_extent)
     t = jnp.minimum(t, max_depth)
     return (255.0 * (1.0 - t / max_depth)).astype(jnp.uint8)

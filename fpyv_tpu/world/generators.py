@@ -233,9 +233,13 @@ def build_world(spec: WorldSpec, dtype=None):
             cyl_height=jnp.asarray([c.height for c in spec.cylinders], dtype),
         )
     if G:
+        from fpyv_tpu.physics.world import GATE_SHAPES
+
         w = w.replace(
             gate_pos=jnp.asarray([g.position for g in spec.gates], dtype),
             gate_rotmat=jnp.asarray([g.rotmat for g in spec.gates], dtype),
             gate_size=jnp.asarray([g.size for g in spec.gates], dtype),
+            gate_shape=jnp.asarray(
+                [GATE_SHAPES.index(g.shape) for g in spec.gates], jnp.int32),
         )
     return w

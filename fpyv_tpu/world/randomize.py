@@ -84,5 +84,6 @@ def sample_worlds(key, n_envs: int, n_spheres: int = 1, n_cylinders: int = 4,
         gate_rotmat=tile(base.gate_rotmat),
         gate_size=tile(base.gate_size),
         gate_active=tile(base.gate_active),
+        gate_shape=tile(base.gate_shape),
         has_ground=jnp.broadcast_to(base.has_ground, (n_envs,)),
     )

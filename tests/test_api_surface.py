@@ -40,6 +40,7 @@ def test_top_level_exports():
         restore_checkpoint, save_checkpoint, timeit)
 
 
+@pytest.mark.slow
 class TestTrainCli:
     def test_train_command_smoke(self, tmp_path):
         """Tiny end-to-end train run through the CLI (CPU)."""
@@ -58,6 +59,7 @@ class TestTrainCli:
         assert (tmp_path / "logs" / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 class TestTrainVision:
     def test_train_vision_smoke(self, tmp_path):
         """Pixels-to-action PPO: tiny run on per-env randomized worlds."""

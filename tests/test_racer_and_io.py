@@ -121,6 +121,7 @@ class TestMotorCsvCrossValidation:
                                        rtol=1e-12)
 
 
+@pytest.mark.slow
 class TestCliE2e:
     def _run(self, *args):
         env = dict(os.environ)
@@ -163,6 +164,7 @@ class TestBankDownsample:
         assert set(np.unique(small.point_obj)) == set(range(bank.num_objects))
 
 
+@pytest.mark.slow
 class TestSimCli:
     def test_sim_command_headless(self):
         r = TestCliE2e()._run("sim", "--steps", "40", "--render", "none",

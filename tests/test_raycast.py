@@ -264,3 +264,169 @@ class TestVisionEnvRaycast:
             sphere_active=jnp.asarray([True, False]))
         img2 = env._render(state, world_masked, None)
         np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+class TestGateShapes:
+    """Shape-aware gate silhouettes (World.gate_shape): the raycast band must
+    trace the same outline the splat polyline (gate_corners) draws."""
+
+    CAM_R = jnp.asarray([[0.0, 0.0, 1.0],
+                         [1.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0]])  # aim +x; gate-local y/z = cam x/y
+
+    def _gate_world(self, shape_code, size=2.0):
+        w = empty_world(n_gates=1, ground=False)
+        return w.replace(
+            gate_pos=jnp.asarray([[5.0, 0.0, 0.0]], jnp.float64),
+            gate_size=jnp.asarray([size], jnp.float64),
+            gate_active=jnp.asarray([True]),
+            gate_shape=jnp.asarray([shape_code], jnp.int32),
+        )
+
+    def _local_hits(self, t):
+        """Gate-local (y, z) coords of every hit pixel."""
+        d = pixel_ray_grid(RIG).astype(np.float64)  # camera-frame rays
+        tn = np.asarray(t)
+        hit = tn < _BIG
+        # world = cam_R @ d * t; local y = world y, z = world z (identity gate)
+        wx = tn * d[2]  # cam z -> world x
+        wy = tn * d[0]
+        wz = tn * d[1]
+        return hit, wy[hit], wz[hit]
+
+    def test_circle_gate_is_annulus(self):
+        w = self._gate_world(1, size=2.0)  # circle: radius = size/2 = 1
+        t = raycast_depth(RIG, jnp.zeros(3), self.CAM_R, w, include=("gates",))
+        hit, ly, lz = self._local_hits(t)
+        assert hit.any()
+        r = np.sqrt(ly**2 + lz**2)
+        np.testing.assert_array_less(np.abs(r - 1.0), 0.09)
+        # the center is a hole
+        W, H = RIG.resolution
+        assert float(t[H // 2, W // 2]) == _BIG
+        # and the square band corners (|y|=|z|=1) are NOT lit for a circle
+        assert not ((np.abs(np.abs(ly) - 1.0) < 0.05)
+                    & (np.abs(np.abs(lz) - 1.0) < 0.05)).any()
+
+    def test_half_circle_gate_arc_and_chord(self):
+        s = 2.0
+        w = self._gate_world(2, size=s)  # half_circle: radius s about (0,-s/2)
+        t = raycast_depth(RIG, jnp.zeros(3), self.CAM_R, w, include=("gates",))
+        hit, ly, lz = self._local_hits(t)
+        assert hit.any()
+        cz = lz + s / 2
+        on_arc = np.abs(np.sqrt(ly**2 + cz**2) - s) < 0.1
+        on_chord = np.abs(cz) < 0.1
+        assert (on_arc | on_chord).all()
+        assert on_arc.any() and on_chord.any()
+        # no hits below the chord (the reference polyline closes there)
+        assert cz.min() > -0.1
+        # the radius-s arc is WIDER than a same-size rectangle (y spans ±s,
+        # gate_corners:79-85 with coef=1)
+        assert np.abs(ly).max() > s / 2 + 0.2
+
+    def test_rectangle_unchanged(self):
+        w = self._gate_world(0, size=2.0)
+        t = raycast_depth(RIG, jnp.zeros(3), self.CAM_R, w, include=("gates",))
+        hit, ly, lz = self._local_hits(t)
+        ring = np.maximum(np.abs(ly), np.abs(lz))
+        np.testing.assert_array_less(np.abs(ring - 1.0), 0.09)
+
+    def test_splat_silhouette_parity_per_shape(self):
+        """Raycast band pixels must cover the splatted polyline dots."""
+        from fpyv_tpu.world.generators import GateSpec, WorldSpec
+        from fpyv_tpu.world.render_bank import build_render_bank
+        from fpyv_tpu.vision.renderer import render_depth_image
+
+        for code, shape in enumerate(("rectangle", "circle", "half_circle")):
+            spec = WorldSpec(gates=[GateSpec(
+                position=np.array([5.0, 0.0, 0.0]), rotmat=np.eye(3),
+                size=2.0, shape=shape, resolution=33)])
+            from fpyv_tpu.world.generators import build_world
+
+            w = build_world(spec, dtype=jnp.float64)
+            bank = build_render_bank(spec)
+            img_s = render_depth_image(RIG, jnp.zeros(3), self.CAM_R, bank,
+                                       world=w, max_depth=10.0)
+            img_r = render_depth_raycast(RIG, jnp.zeros(3), self.CAM_R, w,
+                                         max_depth=10.0, include=("gates",))
+            lit_s = np.asarray(img_s) > 0
+            lit_r = np.asarray(img_r) > 0
+            assert lit_s.any() and lit_r.any(), shape
+            # every splat dot lies on (or within a pixel of) the raycast band
+            from scipy.ndimage import binary_dilation
+            grown = binary_dilation(lit_r, iterations=2)
+            frac = (lit_s & grown).sum() / lit_s.sum()
+            assert frac > 0.97, (shape, frac)
+
+
+class TestGroundExtent:
+    def test_extent_clips_horizon(self):
+        w = empty_world(ground=True)
+        # the FPV mount tilts UP 35 deg (params.yaml camera block), so with a
+        # level drone from 3 m only rays >35 deg below the optical axis reach
+        # the ground, at grazing ranges: an extent clips the horizon band
+        rig = CameraRig(pitch_deg=35.0, rel_position=(0.0, 0.0, 0.0),
+                        fov_deg=90.0, resolution=(64, 48))
+        cam_pos, cam_R = camera_pose(rig, jnp.asarray([0.0, 0.0, 3.0]),
+                                     jnp.eye(3))
+        # the 35-deg up-tilt + this rig's ~37-deg vertical half-fov leave the
+        # lowest ray ~2 deg below the horizon: ground hits start ~90 m out
+        extent = 400.0
+        t_inf = raycast_depth(rig, cam_pos, cam_R, w, include=("ground",))
+        t_cl = raycast_depth(rig, cam_pos, cam_R, w, include=("ground",),
+                             ground_extent=extent)
+        n_inf = int((np.asarray(t_inf) < _BIG).sum())
+        n_cl = int((np.asarray(t_cl) < _BIG).sum())
+        assert 0 < n_cl < n_inf
+        # surviving hits are inside the square footprint
+        d = np.asarray(t_cl)
+        hit = d < _BIG
+        # reconstruct world xy of hits
+        from fpyv_tpu.vision.raycast import _world_rays
+        dw = np.asarray(_world_rays(rig, cam_R, jnp.float64))
+        hx = np.asarray(cam_pos)[0] + d * dw[0]
+        hy = np.asarray(cam_pos)[1] + d * dw[1]
+        assert np.abs(hx[hit]).max() <= extent + 1e-6
+        assert np.abs(hy[hit]).max() <= extent + 1e-6
+
+
+class TestFullWorldParity:
+    """Full reference-shaped world (targets+cylinders+gates+ground) at the
+    training resolution: raycast silhouette must cover the splat dots —
+    the VERDICT's acceptance test for making raycast the trained default."""
+
+    def test_training_res_silhouette_cover(self):
+        from fpyv_tpu.config import FpyvConfig
+        from fpyv_tpu.world.generators import WorldSpec, build_world
+        from fpyv_tpu.world.render_bank import build_render_bank
+        from fpyv_tpu.vision.renderer import render_depth_image
+        from scipy.ndimage import binary_dilation
+
+        spec = WorldSpec.from_config(FpyvConfig().simulator, seed=0)
+        world = build_world(spec, dtype=jnp.float64)
+        bank = build_render_bank(spec, rng=np.random.default_rng(0))
+        rig = CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
+                        fov_deg=120.0, resolution=(96, 72))
+        # yawed 90 deg: the camera faces +y, toward the targets at the origin
+        Rz90 = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        cam_pos, cam_R = camera_pose(rig, jnp.asarray([0.0, -20.0, 3.0]), Rz90)
+        img_s = np.asarray(render_depth_image(rig, cam_pos, cam_R, bank,
+                                              world=world, max_depth=40.0))
+        # NOTE the reference's RANDOM ground cloud spans +-size (not size/2:
+        # ground_points random path scales by size*(2r-1), components.py:657)
+        img_r = np.asarray(render_depth_raycast(
+            rig, cam_pos, cam_R, world, max_depth=40.0,
+            ground_extent=float(spec.ground["size"])))
+        lit_s, lit_r = img_s > 0, img_r > 0
+        assert lit_s.any() and lit_r.any()
+        # the pose must actually exercise the sphere path
+        ray_sph = np.asarray(render_depth_raycast(
+            rig, cam_pos, cam_R, world, max_depth=40.0, include=("spheres",)))
+        assert (ray_sph > 0).any()
+        # solid-surface raycast must cover (almost all of) the splat dots;
+        # the ground cloud is RANDOM points inside the footprint with z
+        # jitter (components.py:655-660), so allow a small misfit there
+        grown = binary_dilation(lit_r, iterations=2)
+        frac = (lit_s & grown).sum() / lit_s.sum()
+        assert frac > 0.9, frac
