@@ -32,13 +32,8 @@ REPEATS = 3
 BASELINE_STEPS_PER_S = 5_000_000.0  # BASELINE.json north star
 
 
-def build():
-    from fpyv_tpu.envs.acro import AcroEnv
+def build(env, world):
     from fpyv_tpu.ops.pallas_env import pallas_env_rollout
-    from fpyv_tpu.physics.drone import DroneParams
-
-    env = AcroEnv(params=DroneParams(att_mode="quat"))
-    world = env.default_world()
 
     keys = jax.random.split(jax.random.key(0), N_ENVS)
     state, obs = jax.vmap(lambda k: env.reset(k, world))(keys)
@@ -55,8 +50,8 @@ def build():
     return run, state, world
 
 
-def main():
-    run, state, world = build()
+def measure(env, world):
+    run, state, world = build(env, world)
     # warmup/compile at the benched K
     state, world, total = run(state, world)
     assert np.isfinite(total)
@@ -67,13 +62,35 @@ def main():
         state, world, total = run(state, world)
         times.append(time.perf_counter() - t0)
 
-    best = min(times)
-    steps_per_s = N_ENVS * KERNEL_STEPS / best
+    return N_ENVS * KERNEL_STEPS / min(times)
+
+
+def main():
+    from fpyv_tpu.config import FpyvConfig
+    from fpyv_tpu.envs.acro import AcroEnv
+    from fpyv_tpu.physics.drone import DroneParams
+    from fpyv_tpu.world.generators import WorldSpec, build_world
+
+    # headline: the default acro env (moving target + ground)
+    env = AcroEnv(params=DroneParams(att_mode="quat"))
+    steps_per_s = measure(env, env.default_world())
+
+    # secondary: the reference-shaped params.yaml world (targets + cylinders
+    # + gate track + ground, /root/reference/config/params.yaml:6-35) with
+    # domain randomization AND per-episode wind gusts — all in-kernel
+    env_ref = AcroEnv(params=DroneParams(att_mode="quat"),
+                      randomize=True, wind=(1.0, 0.5, 0.0), wind_scale=0.5)
+    spec = WorldSpec.from_config(FpyvConfig().simulator, seed=2)
+    ref_steps_per_s = measure(env_ref, build_world(spec, dtype=jnp.float32))
+
     print(json.dumps({
         "metric": f"full acro-env steps/s/chip at {N_ENVS} envs",
         "value": round(steps_per_s),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+        "reference_world_value": round(ref_steps_per_s),
+        "reference_world_vs_baseline": round(
+            ref_steps_per_s / BASELINE_STEPS_PER_S, 4),
     }))
 
 

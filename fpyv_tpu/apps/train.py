@@ -156,6 +156,8 @@ def train_vision(
     print_every: int = 10,
     scan_chunk: int = 5,
     num_minibatches: int = 8,
+    renderer: str = "raycast",
+    target_only: bool = False,
 ) -> TrainResult:
     """Pixels-to-action PPO: VisionAcroEnv depth observations through the
     conv policy (PixelActorCritic), rendered inside the jitted rollout.
@@ -163,11 +165,21 @@ def train_vision(
     With ``randomize_worlds`` every env trains in its OWN randomized world
     (one shared unit-geometry bank, per-env transforms from the batched
     World — world/render_bank.py) for sim-to-real-style visual diversity.
+
+    The default observation is the FULL-world depth view through the
+    analytic raycast renderer — the same view the reference's dim==2 loop
+    shows the drone (render_depth_image(object_list),
+    /root/reference/src/core/simulator.py:122, object_list = targets +
+    obstacles + ground, :85) — at raycast speed (BENCH.md). Set
+    ``renderer="splat"``/``target_only=True`` for the reference-parity
+    point-splat of just the chased target (simulator.py:102/127's
+    guidance view).
     """
     from fpyv_tpu.envs.vision_acro import VisionAcroEnv
     from fpyv_tpu.models.policy import PixelActorCritic
 
-    env = VisionAcroEnv(**({"rig": rig} if rig is not None else {}))
+    env = VisionAcroEnv(renderer=renderer, target_only=target_only,
+                        **({"rig": rig} if rig is not None else {}))
     key = jax.random.key(seed)
     k_world, k_env, k_net, k_train = jax.random.split(key, 4)
     if randomize_worlds:

@@ -38,7 +38,8 @@ def _cmd_train(args):
             num_envs=args.num_envs, num_iterations=args.iterations,
             num_steps=args.num_steps, seed=args.seed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
-            randomize_worlds=args.randomize,
+            randomize_worlds=args.randomize, renderer=args.renderer,
+            target_only=args.target_only,
         )
     else:
         res = train_acro(
@@ -167,6 +168,13 @@ def main(argv=None):
     tp.add_argument("--randomize", action="store_true")
     tp.add_argument("--vision", action="store_true",
                     help="pixels-to-action PPO on the vision env")
+    tp.add_argument("--renderer", choices=["raycast", "splat"],
+                    default="raycast",
+                    help="vision obs renderer: analytic raycast (fast, "
+                         "full-world default) or reference-parity splat")
+    tp.add_argument("--target-only", action="store_true",
+                    help="render only the chased target (the reference's "
+                         "guidance view) instead of the full world")
     tp.add_argument("--log-dir", default=None)
     tp.add_argument("--checkpoint-dir", default=None)
     tp.add_argument("--resume", action="store_true")

@@ -48,6 +48,8 @@ class AcroState:
     prev_dist: jnp.ndarray  # (...,) distance to chased target at prev step
     key: jnp.ndarray  # per-env PRNG key
     episode_return: jnp.ndarray  # (...,) running return (metrics)
+    wind: jnp.ndarray  # (..., 3) world-frame wind (simulator.py:63's vector,
+    #                    per-env; resampled at reset when the env randomizes)
 
 
 @dataclass(frozen=True)
@@ -70,6 +72,11 @@ class AcroEnv:
     mass_range: Tuple[float, float] = (0.8, 1.2)
     drag_range: Tuple[float, float] = (0.7, 1.3)
     thrust_range: Tuple[float, float] = (0.85, 1.15)
+    # wind: constant world-frame base vector (the reference's
+    # wind_velocity_vector, simulator.py:63) + optional per-env N(0, scale)
+    # gusts resampled every episode (enters drag, kinematics.py:33-38)
+    wind: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    wind_scale: float = 0.0
     dtype: type = jnp.float32
 
     # ---- world ------------------------------------------------------------
@@ -137,9 +144,15 @@ class AcroEnv:
             key, (), self.mass_range, self.drag_range, self.thrust_range, self.dtype
         )
 
+    def _sample_wind(self, key) -> jnp.ndarray:
+        base = jnp.asarray(self.wind, self.dtype)
+        if self.wind_scale <= 0.0:
+            return base
+        return base + self.wind_scale * jax.random.normal(key, (3,), self.dtype)
+
     def reset(self, key, world: Optional[World] = None):
         world = self.default_world() if world is None else world
-        key, kd, kr = jax.random.split(key, 3)
+        key, kd, kr, kw = jax.random.split(key, 4)
         drone = self._sample_drone(kd)
         dr = self._sample_dr(kr)
         target = world.sphere_center[..., 0, :]
@@ -151,6 +164,7 @@ class AcroEnv:
             prev_dist=dist,
             key=key,
             episode_return=jnp.zeros((), self.dtype),
+            wind=self._sample_wind(kw),
         )
         return state, self._obs(state, world)
 
@@ -162,7 +176,8 @@ class AcroEnv:
         caller when targets move (see ``rollout`` helpers) or passed static."""
         world = self.default_world() if world is None else world
         drone, imu = drone_step(
-            self.params, state.drone, action, world, wind=wind,
+            self.params, state.drone, action, world,
+            wind=state.wind if wind is None else wind,
             domain_rand=state.domain_rand,
         )
         target = world.sphere_center[..., 0, :]
@@ -187,7 +202,7 @@ class AcroEnv:
         )
 
         # auto-reset (branch-free)
-        key, kd, kr, knext = jax.random.split(state.key, 4)
+        key, kd, kr, kw, knext = jax.random.split(state.key, 5)
         drone_r = self._sample_drone(kd)
         dr_r = self._sample_dr(kr)
         dist_r = jnp.linalg.norm(target - drone_r.pos, axis=-1)
@@ -195,6 +210,7 @@ class AcroEnv:
             drone=drone_r, domain_rand=dr_r, t=jnp.zeros((), jnp.int32),
             prev_dist=dist_r, key=knext,
             episode_return=jnp.zeros((), self.dtype),
+            wind=self._sample_wind(kw),
         )
         live_state = next_state.replace(key=knext)
         next_state = tree_where(done, reset_state, live_state)

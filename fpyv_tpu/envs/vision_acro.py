@@ -151,8 +151,20 @@ class VisionAcroEnv:
         state, _, reward, done, info = self.acro.step(state, action, world, wind)
         obs = self._obs(state, world, bank)
         # target pixel info (the reference's chase loop extracts the centroid
-        # of the target's depth image, simulator.py:103-107)
-        centroid, found = target_pixel_centroid(
-            (obs["pixels"] * 255.0).astype(jnp.uint8))
+        # of the TARGET-ONLY depth image, simulator.py:103-107)
+        if self.target_only:
+            centroid, found = target_pixel_centroid(
+                (obs["pixels"] * 255.0).astype(jnp.uint8))
+        else:
+            # full-world obs: a whole-image centroid would not isolate the
+            # target, so project the chased sphere's center analytically
+            # (same camera math, no second render)
+            from fpyv_tpu.physics.drone import _att_to_rotmat
+            from fpyv_tpu.vision.renderer import project_point_pixel
+
+            R = _att_to_rotmat(self.params, state.drone.att)
+            cam_pos, cam_R = camera_pose(self.rig, state.drone.pos, R)
+            centroid, found = project_point_pixel(
+                self.rig, cam_pos, cam_R, world.sphere_center[..., 0, :])
         info = dict(info, target_pixel=centroid, target_visible=found)
         return state, obs, reward, done, info

@@ -24,11 +24,20 @@ stream than the XLA path's per-env threefry keys, so trajectories match the
 XLA env exactly *until the first reset event* (tests exploit this) and
 statistically thereafter.
 
-Supported (asserted): quat attitude, no cylinders, ground on, no domain
-randomization, float32.  The XLA path remains the general/reference one.
+Supported (asserted): quat attitude, ground on, float32.  Cylinder worlds
+(the reference's default params.yaml obstacles, config/params.yaml:6-35)
+collide in-kernel via the same SDF quirks as the XLA path; gate tracks are
+accepted unchanged (gates never collide and don't enter the acro reward —
+components.py:203); per-env domain randomization (mass/drag/thrust) applies
+the DomainRand multipliers exactly as drone_step does and RESAMPLES them on
+auto-reset from the env's configured uniform ranges; per-env wind (constant
+base + N(0, wind_scale) gusts per episode) enters the drag term in-kernel.
+The XLA path remains the general/reference one (rotmat mode, guidance
+overrides).
 
 State matrix layout: pallas_step rows 0..14 (pos, vel, quat, rates, thrust,
-done) + env rows 15: t, 16: prev_dist, 17: episode_return.  Each row is an
+done) + env rows 15: t, 16: prev_dist, 17: episode_return, 18: mass_scale,
+19: drag_scale, 20: thrust_scale, 21:24: wind xyz.  Each row is an
 (8, N/8) tile (full VPU sublane utilization, see pallas_step module doc).
 """
 
@@ -49,12 +58,16 @@ from fpyv_tpu.ops.pallas_step import (
     SUBLANES,
     _pack,
     _step_math,
+    cylinder_matrix,
     matrix_to_state,
     state_to_matrix,
+    world_has_cylinders,
 )
+from fpyv_tpu.physics.drone import DomainRand
 from fpyv_tpu.physics.world import World
 
-ENV_EXTRA_ROWS = 3  # t, prev_dist, episode_return
+ENV_EXTRA_ROWS = 9  # t, prev_dist, episode_return, mass/drag/thrust scales,
+#                     wind xyz
 ENV_ROWS = STATE_ROWS + ENV_EXTRA_ROWS
 
 _TWO_PI = 2.0 * np.pi
@@ -115,13 +128,23 @@ def _env_cfg_scalars(env: AcroEnv):
         float(env.w_alive),
         float(env.w_crash),
         float(env.w_rates),
+        bool(env.randomize),
+        tuple(float(x) for x in env.mass_range),
+        tuple(float(x) for x in env.drag_range),
+        tuple(float(x) for x in env.thrust_range),
+        tuple(float(x) for x in env.wind),
+        float(env.wind_scale),
     )
 
 
-def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat):
+def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat,
+                   cyl_mat=None):
     """The full K-step env loop over (ENV_ROWS*8, N/8) state. Pure jnp."""
     (pos_low, pos_high, vel_scale, ypr_range, max_steps,
-     w_progress, w_alive, w_crash, w_rates) = cfg
+     w_progress, w_alive, w_crash, w_rates,
+     randomize, mass_range, drag_range, thrust_range,
+     wind_base, wind_scale) = cfg
+    use_wind = any(w != 0.0 for w in wind_base) or wind_scale > 0.0
 
     n_lane = state0.shape[1]
     # per-env lane id: distinct uint32 per (sublane, lane) element
@@ -157,8 +180,13 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat):
     def body(i, carry):
         st, rsum = carry
         sph_c = sphere_centers(i)
+        # DomainRand/wind rows feed the physics only when the env uses them —
+        # the nominal path stays free of the extra multiplies
+        dr = ((row(st, 18), row(st, 19), row(st, 20)) if randomize else None)
+        wnd = ((row(st, 21), row(st, 22), row(st, 23)) if use_wind else None)
         phys = _step_math(params, sph_c, sphere_r, sphere_active,
-                          st[: STATE_ROWS * SUBLANES], action)
+                          st[: STATE_ROWS * SUBLANES], action,
+                          cyl=cyl_mat, dr=dr, wind=wnd)
 
         px, py, pz = row(phys, 0), row(phys, 1), row(phys, 2)
         crashed = row(phys, 14)
@@ -178,7 +206,8 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat):
         done = jnp.maximum(crashed, truncated)
 
         # ---- reset draws (AcroEnv._sample_drone distributions) -------------
-        base = (i.astype(jnp.uint32) + jnp.uint32(1)) * jnp.uint32(16)
+        # stride 32 counters per iteration: up to 32 distinct draws per reset
+        base = (i.astype(jnp.uint32) + jnp.uint32(1)) * jnp.uint32(32)
 
         def u(d):
             return _uniform_01(lane_id, base + jnp.uint32(d))
@@ -203,6 +232,29 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat):
         rdx, rdy, rdz = rpx - tx, rpy - ty, rpz - tz
         dist_r = jnp.sqrt(rdx * rdx + rdy * rdy + rdz * rdz)
 
+        ones = jnp.ones_like(crashed)
+        if randomize:  # resample DomainRand on reset (AcroEnv._sample_dr)
+            rms = jnp.float32(mass_range[0]) + u(10) * jnp.float32(
+                mass_range[1] - mass_range[0])
+            rds = jnp.float32(drag_range[0]) + u(11) * jnp.float32(
+                drag_range[1] - drag_range[0])
+            rts = jnp.float32(thrust_range[0]) + u(12) * jnp.float32(
+                thrust_range[1] - thrust_range[0])
+        else:
+            rms = rds = rts = ones
+        if use_wind and wind_scale > 0.0:  # AcroEnv._sample_wind gusts
+            g0, g1 = _normal_pair(lane_id, base + jnp.uint32(13),
+                                  base + jnp.uint32(14))
+            g2, _ = _normal_pair(lane_id, base + jnp.uint32(15),
+                                 base + jnp.uint32(16))
+            rwx = jnp.float32(wind_base[0]) + jnp.float32(wind_scale) * g0
+            rwy = jnp.float32(wind_base[1]) + jnp.float32(wind_scale) * g1
+            rwz = jnp.float32(wind_base[2]) + jnp.float32(wind_scale) * g2
+        else:
+            rwx = jnp.full_like(crashed, jnp.float32(wind_base[0]))
+            rwy = jnp.full_like(crashed, jnp.float32(wind_base[1]))
+            rwz = jnp.full_like(crashed, jnp.float32(wind_base[2]))
+
         # next-state done row is always 0: done envs take the reset branch and
         # live envs by definition have crashed == 0 (AcroEnv.step's tree_where)
         zeros = jnp.zeros_like(crashed)
@@ -210,6 +262,8 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat):
             phys[: 14 * SUBLANES],           # pos vel quat rates thrust
             zeros,                           # done
             t, dist, row(st, 17) + reward,
+            row(st, 18), row(st, 19), row(st, 20),  # DomainRand persists
+            row(st, 21), row(st, 22), row(st, 23),  # wind persists
         ], axis=0)
         reset = jnp.concatenate([
             rpx, rpy, rpz, rvx, rvy, rvz, rqw, rqx, rqy, rqz,
@@ -219,6 +273,8 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat):
             zeros,                          # t
             dist_r,
             zeros,                          # episode_return
+            rms, rds, rts,
+            rwx, rwy, rwz,
         ], axis=0)
         sel = jnp.tile(done > 0.5, (ENV_ROWS, 1))
         nxt = jnp.where(sel, reset, live)
@@ -228,39 +284,40 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat):
     return jax.lax.fori_loop(0, n_steps, body, (state0, rsum0))
 
 
-def _env_kernel(params, cfg, n_steps, seed_ref, state_ref, action_ref,
-                world_ref, out_ref, rsum_ref):
+def _env_kernel(params, cfg, n_steps, use_cyl, seed_ref, state_ref,
+                action_ref, world_ref, *rest):
+    cyl_ref, out_ref, rsum_ref = (rest if use_cyl else (None,) + rest)
     seed = seed_ref[0]
     out, rsum = _env_loop_math(params, cfg, n_steps, seed,
                                state_ref[:, :], action_ref[:, :],
-                               world_ref[:, :])
+                               world_ref[:, :],
+                               cyl_mat=cyl_ref[:, :] if use_cyl else None)
     out_ref[:, :] = out
     rsum_ref[:, :] = rsum
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 5, 6))
 def _call_env_rollout(params, cfg, state_mat, action_mat, world_mat, n_steps,
-                      interpret, seed):
+                      interpret, seed, cyl_mat=None):
     n = state_mat.shape[1]
-    kernel = functools.partial(_env_kernel, params, cfg, n_steps)
+    use_cyl = cyl_mat is not None
+    kernel = functools.partial(_env_kernel, params, cfg, n_steps, use_cyl)
+    args = (jnp.asarray([seed], jnp.int32), state_mat, action_mat,
+            world_mat) + ((cyl_mat,) if use_cyl else ())
     return pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((ENV_ROWS * SUBLANES, n), jnp.float32),
             jax.ShapeDtypeStruct((SUBLANES, n), jnp.float32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(args) - 1),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), state_mat, action_mat, world_mat)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -269,21 +326,31 @@ def _call_env_rollout(params, cfg, state_mat, action_mat, world_mat, n_steps,
 
 
 def env_supported(env: AcroEnv, world: World) -> bool:
+    """Cylinder worlds and domain randomization run in-kernel; gate tracks
+    are accepted unchanged (gates never collide, components.py:203, and the
+    acro reward ignores them) — this covers the reference's default
+    params.yaml world (config/params.yaml:6-35)."""
     return (
         env.params.att_mode == "quat"
         and env.dtype == jnp.float32
-        and not env.randomize
-        and not bool(np.asarray(world.cyl_active).any())
         and bool(np.asarray(world.has_ground))
     )
 
 
 def env_state_to_matrix(state: AcroState) -> jnp.ndarray:
     phys = state_to_matrix(state.drone)
+    n = state.prev_dist.shape[0]
+    bc = lambda x: jnp.broadcast_to(x, (n,))  # nominal DR may be unbatched
     extras = [
         _pack(state.t.astype(jnp.float32)),
         _pack(state.prev_dist),
         _pack(state.episode_return),
+        _pack(bc(state.domain_rand.mass_scale)),
+        _pack(bc(state.domain_rand.drag_scale)),
+        _pack(bc(state.domain_rand.thrust_scale)),
+        _pack(bc(state.wind[..., 0])),
+        _pack(bc(state.wind[..., 1])),
+        _pack(bc(state.wind[..., 2])),
     ]
     return jnp.concatenate([phys] + extras, axis=0)
 
@@ -296,11 +363,17 @@ def matrix_to_env_state(mat: jnp.ndarray, template: AcroState) -> AcroState:
 
     return AcroState(
         drone=drone,
-        domain_rand=template.domain_rand,
+        domain_rand=DomainRand(
+            mass_scale=comp(STATE_ROWS + 3),
+            drag_scale=comp(STATE_ROWS + 4),
+            thrust_scale=comp(STATE_ROWS + 5),
+        ),
         t=comp(STATE_ROWS).astype(jnp.int32),
         prev_dist=comp(STATE_ROWS + 1),
         key=template.key,  # kernel RNG is hash-counter based; keys untouched
         episode_return=comp(STATE_ROWS + 2),
+        wind=jnp.stack([comp(STATE_ROWS + 6), comp(STATE_ROWS + 7),
+                        comp(STATE_ROWS + 8)], axis=-1),
     )
 
 
@@ -335,10 +408,12 @@ def pallas_env_rollout(
     assert state.drone.pos.shape[0] % SUBLANES == 0, "N must be a multiple of 8"
     state_mat = env_state_to_matrix(state)
     world_mat = env_world_matrix(world)
+    cyl_mat = cylinder_matrix(world) if world_has_cylinders(world) else None
     action_mat = jnp.concatenate([_pack(action[:, i]) for i in range(4)], axis=0)
     cfg = _env_cfg_scalars(env)
     out, rsum = _call_env_rollout(env.params, cfg, state_mat, action_mat,
-                                  world_mat, n_steps, interpret, int(seed))
+                                  world_mat, n_steps, interpret, int(seed),
+                                  cyl_mat=cyl_mat)
     new_world = world.replace(
         sphere_path_count=world.sphere_path_count
         + jnp.int32(n_steps) * world.sphere_has_path.astype(jnp.int32)

@@ -16,10 +16,13 @@ Two entry points:
   for the speed-of-light number with a constant action.
 
 Supported configuration (asserted): quat attitude mode, no att/thrust
-override, no domain randomization, world = S spheres + ground (cylinders
-fall back to the XLA path). Parity with drone_step is covered by
-tests/test_pallas_step.py in interpret mode (CPU) and on TPU by the bench
-cross-check.
+override, world = S spheres + C cylinders + ground (the reference's default
+params.yaml world shape; gates are collision-free by reference semantics,
+components.py:203). Domain randomization and wind enter ``_step_math`` as
+optional per-env row inputs — statically gated so sphere-only nominal
+worlds compile to exactly the old fast path. Parity with drone_step is
+covered by tests/test_pallas_step.py in interpret mode (CPU) and on TPU by
+the bench cross-check.
 
 State matrix rows (dtype f32):
   0:3  position        3:6  velocity      6:10 quaternion (w,x,y,z)
@@ -83,9 +86,21 @@ def matrix_to_state(mat: jnp.ndarray, template: DroneState) -> DroneState:
 
 
 def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
-               state, action):
+               state, action, cyl=None, dr=None, wind=None):
     """One physics step over row-vectors of shape (N,). Pure jnp — runs
-    identically inside the pallas kernel and in interpret mode."""
+    identically inside the pallas kernel and in interpret mode.
+
+    Optional generality (all default-off so the sphere-only fast path is
+    unchanged):
+    - ``cyl``: (6, C_pad) cylinder rows [center xyz, radius, height, active]
+      — motor-point collisions vs vertical cylinders with BOTH reference
+      quirks (physics/world.py cylinder_sdf: sqrt distance outside the band,
+      relative-z band for the normal; components.py:710-729).
+    - ``dr``: (mass_scale, drag_scale, thrust_scale) (8, N/8) tiles — the
+      per-env DomainRand multipliers exactly as drone_step applies them.
+    - ``wind``: (wx, wy, wz) (8, N/8) tiles — world-frame wind velocity
+      entering the drag term (kinematics.py:33-38's velocity+wind).
+    """
     dt = params.dt
 
     def c(i):  # component i's (8, N/8) tile
@@ -116,6 +131,10 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
     poly = ((c3 * xpct + c2_) * xpct + c1) * xpct + c0
     b = params.thrust_transition_rate
     thrust = poly * b + thrust_prev * (1 - b)
+    if dr is not None:
+        # drone_step scales BEFORE storing the low-pass memory, so the
+        # scaled value both applies now and feeds the next step's low-pass
+        thrust = thrust * dr[2]
 
     # --- rotation matrix columns from quaternion
     R00 = 1 - 2 * (qy * qy + qz * qz)
@@ -130,11 +149,15 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
 
     tx, ty, tz = R02 * thrust, R12 * thrust, R22 * thrust
 
-    # --- drag (kinematics.py:33-38), wind = 0
-    vnorm = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-    bx = R00 * vx + R10 * vy + R20 * vz  # Rᵀ v
-    by = R01 * vx + R11 * vy + R21 * vz
-    bz = R02 * vx + R12 * vy + R22 * vz
+    # --- drag (kinematics.py:33-38) on velocity + wind
+    if wind is None:
+        wx_, wy_, wz_ = vx, vy, vz
+    else:
+        wx_, wy_, wz_ = vx + wind[0], vy + wind[1], vz + wind[2]
+    vnorm = jnp.sqrt(wx_ * wx_ + wy_ * wy_ + wz_ * wz_)
+    bx = R00 * wx_ + R10 * wy_ + R20 * wz_  # Rᵀ (v + w)
+    by = R01 * wx_ + R11 * wy_ + R21 * wz_
+    bz = R02 * wx_ + R12 * wy_ + R22 * wz_
     cdx, cdy, cdz = params.drag_coef
     ax_, ay_, az_ = params.cross_sections
     k = -0.5 * AIR_DENSITY
@@ -144,8 +167,12 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
     dx = R00 * fbx + R01 * fby + R02 * fbz
     dy = R10 * fbx + R11 * fby + R12 * fbz
     dz = R20 * fbx + R21 * fby + R22 * fbz
+    if dr is not None:
+        dx, dy, dz = dx * dr[1], dy * dr[1], dz * dr[1]
 
     gz = -params.gravity * params.mass
+    if dr is not None:
+        gz = gz * dr[0]  # gravity scales with the randomized mass
 
     # --- motor points + collisions (spheres + ground)
     # python-float motor coords: np.float64 scalars would promote f32 math
@@ -180,8 +207,38 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
             cfy = cfy + hit_s * mag * ddy * inv
             cfz = cfz + hit_s * mag * ddz * inv
             crashed = jnp.maximum(crashed, ((sd < 0).astype(px.dtype)) * act_s)
+        # cylinders (physics/world.py cylinder_sdf parity incl. both quirks)
+        for ci in range(0 if cyl is None else cyl.shape[1]):
+            act_c = cyl[5, ci]
+            cx_, cy2, cz_ = cyl[0, ci], cyl[1, ci], cyl[2, ci]
+            cr_, ch_ = cyl[3, ci], cyl[4, ci]
+            ddx, ddy = mx - cx_, my - cy2
+            r2d = jnp.sqrt(ddx * ddx + ddy * ddy)
+            d2d = r2d - cr_
+            z0, z1 = cz_, cz_ + ch_
+            in_band = ((z0 < mz) & (mz < z1)).astype(px.dtype)
+            dh = jnp.minimum(jnp.abs(mz - z0), jnp.abs(mz - z1))
+            d = in_band * d2d + (1 - in_band) * jnp.sqrt(d2d * d2d + dh * dh)
+            # normal: RELATIVE z vs the ABSOLUTE band (components.py:719-720)
+            # (careful: qw..qz name the quaternion in this scope)
+            relz = mz - cz_
+            band_n = ((z0 < relz) & (relz < z1)).astype(px.dtype)
+            inv2d = 1.0 / jnp.maximum(r2d, 1e-12)
+            cap_sign = jnp.where(jnp.abs(relz - z0) < jnp.abs(relz - z1),
+                                 -1.0, 1.0)
+            nx_ = band_n * ddx * inv2d
+            ny_ = band_n * ddy * inv2d
+            nz_ = (1 - band_n) * cap_sign
+            pen_c = d - rm
+            hit_c = ((pen_c < 0).astype(px.dtype)) * act_c
+            mag = -spring_k * pen_c
+            cfx = cfx + hit_c * mag * nx_
+            cfy = cfy + hit_c * mag * ny_
+            cfz = cfz + hit_c * mag * nz_
+            crashed = jnp.maximum(crashed, ((d < 0).astype(px.dtype)) * act_c)
 
-    inv_m = 1.0 / params.mass
+    inv_m = (1.0 / params.mass if dr is None
+             else 1.0 / (params.mass * dr[0]))
     acx = (tx + dx + cfx) * inv_m
     acy = (ty + dy + cfy) * inv_m
     acz = (tz + dz + gz + cfz) * inv_m
@@ -218,26 +275,31 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
     )
 
 
-def _kernel_single(params, n_spheres, state_ref, action_ref, sphere_ref,
-                   out_ref):
+def _kernel_single(params, use_cyl, state_ref, action_ref, sphere_ref,
+                   *rest):
+    cyl_ref, out_ref = (rest if use_cyl else (None,) + rest)
     sphere_c = sphere_ref[0:3, :]
     sphere_r = sphere_ref[3, :]
     sphere_active = sphere_ref[4, :]
     out_ref[:, :] = _step_math(
         params, sphere_c, sphere_r, sphere_active,
         state_ref[:, :], action_ref[:, :],
+        cyl=cyl_ref[:, :] if use_cyl else None,
     )
 
 
-def _kernel_rollout(params, n_spheres, n_steps, state_ref, action_ref,
-                    sphere_ref, out_ref):
+def _kernel_rollout(params, use_cyl, n_steps, state_ref, action_ref,
+                    sphere_ref, *rest):
+    cyl_ref, out_ref = (rest if use_cyl else (None,) + rest)
     sphere_c = sphere_ref[0:3, :]
     sphere_r = sphere_ref[3, :]
     sphere_active = sphere_ref[4, :]
     action = action_ref[:, :]
+    cyl = cyl_ref[:, :] if use_cyl else None
 
     def body(_, st):
-        return _step_math(params, sphere_c, sphere_r, sphere_active, st, action)
+        return _step_math(params, sphere_c, sphere_r, sphere_active, st,
+                          action, cyl=cyl)
 
     out_ref[:, :] = jax.lax.fori_loop(0, n_steps, body, state_ref[:, :])
 
@@ -253,48 +315,66 @@ def _world_matrix(world: World, n_pad: int = 8) -> Tuple[jnp.ndarray, int]:
     return mat, S_pad
 
 
+def cylinder_matrix(world: World, n_pad: int = 8) -> jnp.ndarray:
+    """(6, C_pad) rows: center xyz, radius, height, active."""
+    C = world.num_cylinders
+    C_pad = max(n_pad, C)
+    mat = jnp.zeros((6, C_pad), jnp.float32)
+    mat = mat.at[0:3, :C].set(world.cyl_center.T.astype(jnp.float32))
+    mat = mat.at[3, :C].set(world.cyl_radius.astype(jnp.float32))
+    mat = mat.at[4, :C].set(world.cyl_height.astype(jnp.float32))
+    mat = mat.at[5, :C].set(world.cyl_active.astype(jnp.float32))
+    return mat
+
+
+def world_has_cylinders(world: World) -> bool:
+    """Host-side static gate: sphere-only worlds skip the cylinder loop
+    entirely (the generality must not tax the fast path)."""
+    return bool(np.asarray(world.cyl_active).any())
+
+
 def _supported(params: DroneParams, world: World) -> bool:
     return (
         params.att_mode == "quat"
-        and not bool(np.asarray(world.cyl_active).any())
         and bool(np.asarray(world.has_ground))
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def _call_single(params, state_mat, action_mat, sphere_mat, interpret):
+_VMEM = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4), static_argnames=("interpret",))
+def _call_single(params, state_mat, action_mat, sphere_mat, interpret,
+                 cyl_mat=None):
     n = state_mat.shape[1]
-    kernel = functools.partial(_kernel_single, params, sphere_mat.shape[1])
+    use_cyl = cyl_mat is not None
+    kernel = functools.partial(_kernel_single, params, use_cyl)
+    args = (state_mat, action_mat, sphere_mat) + (
+        (cyl_mat,) if use_cyl else ())
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((STATE_ROWS * SUBLANES, n), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[_VMEM] * len(args),
+        out_specs=_VMEM,
         interpret=interpret,
-    )(state_mat, action_mat, sphere_mat)
+    )(*args)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5), static_argnames=("interpret",))
 def _call_rollout(params, state_mat, action_mat, sphere_mat, n_steps,
-                  interpret):
+                  interpret, cyl_mat=None):
     n = state_mat.shape[1]
-    kernel = functools.partial(_kernel_rollout, params, sphere_mat.shape[1],
-                               n_steps)
+    use_cyl = cyl_mat is not None
+    kernel = functools.partial(_kernel_rollout, params, use_cyl, n_steps)
+    args = (state_mat, action_mat, sphere_mat) + (
+        (cyl_mat,) if use_cyl else ())
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((STATE_ROWS * SUBLANES, n), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[_VMEM] * len(args),
+        out_specs=_VMEM,
         interpret=interpret,
-    )(state_mat, action_mat, sphere_mat)
+    )(*args)
 
 
 def pallas_drone_step(params: DroneParams, state: DroneState,
@@ -305,8 +385,10 @@ def pallas_drone_step(params: DroneParams, state: DroneState,
     assert state.pos.shape[0] % SUBLANES == 0, "N must be a multiple of 8"
     state_mat = state_to_matrix(state)
     sphere_mat, _ = _world_matrix(world)
+    cyl_mat = cylinder_matrix(world) if world_has_cylinders(world) else None
     action_mat = jnp.concatenate([_pack(action[:, i]) for i in range(4)], axis=0)
-    out = _call_single(params, state_mat, action_mat, sphere_mat, interpret)
+    out = _call_single(params, state_mat, action_mat, sphere_mat, interpret,
+                       cyl_mat=cyl_mat)
     return matrix_to_state(out, state)
 
 
@@ -318,7 +400,8 @@ def pallas_rollout(params: DroneParams, state: DroneState,
     assert state.pos.shape[0] % SUBLANES == 0, "N must be a multiple of 8"
     state_mat = state_to_matrix(state)
     sphere_mat, _ = _world_matrix(world)
+    cyl_mat = cylinder_matrix(world) if world_has_cylinders(world) else None
     action_mat = jnp.concatenate([_pack(action[:, i]) for i in range(4)], axis=0)
     out = _call_rollout(params, state_mat, action_mat, sphere_mat, n_steps,
-                        interpret)
+                        interpret, cyl_mat=cyl_mat)
     return matrix_to_state(out, state)

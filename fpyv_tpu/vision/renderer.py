@@ -255,6 +255,21 @@ def render_binary_image(
     return (jnp.isfinite(img)).astype(jnp.float32)
 
 
+def project_point_pixel(rig: CameraRig, cam_pos, cam_R, point):
+    """Analytic pixel of a single world point: ((..., 2) float [u, v],
+    (...,) bool in-frustum).  The closed-form twin of
+    ``target_pixel_centroid`` over a target-only render — same camera math
+    as the splat (``_project``), used when the observation image contains
+    the whole world and a centroid would no longer isolate the target
+    (simulator.py:103-107 extracts it from a target-only render)."""
+    u, v, cz = _project(cam_pos, cam_R, jnp.asarray(rig.K, point.dtype),
+                        point[..., None, :])
+    u, v, cz = u[..., 0], v[..., 0], cz[..., 0]
+    W, H = rig.resolution
+    visible = (cz > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    return jnp.stack([u, v], axis=-1), visible
+
+
 def target_pixel_centroid(depth_img: jnp.ndarray):
     """Mean (u, v) of lit pixels — the reference's target-pixel extraction
     (simulator.py:103-107: ``np.where(img > 0).mean`` with [v,u] -> [u,v]).

@@ -331,3 +331,103 @@ class TestMultiRacePpo:
             st, info = iteration(st)
         assert np.isfinite(float(np.asarray(info["loss"])))
         assert np.isfinite(float(np.asarray(info["mean_reward"])))
+
+
+class TestWind:
+    """VERDICT #8: wind + wind randomization exposed in the envs
+    (drone_step's wind input, kinematics.py:33-38 drag-with-wind;
+    simulator.py's wind_velocity_vector plumbing)."""
+
+    def _reset(self, env, n=16, seed=0):
+        import jax
+        from fpyv_tpu.envs.acro import vector_reset
+
+        return vector_reset(env, jax.random.key(seed), n)
+
+    def test_constant_wind_shifts_trajectory(self):
+        import jax
+        import jax.numpy as jnp
+        from fpyv_tpu.envs.acro import AcroEnv
+        from fpyv_tpu.physics.drone import DroneParams
+
+        calm = AcroEnv(params=DroneParams(att_mode="quat"),
+                       pos_low=(-2, -2, 30), pos_high=(2, 2, 35))
+        windy = AcroEnv(params=DroneParams(att_mode="quat"),
+                        pos_low=(-2, -2, 30), pos_high=(2, 2, 35),
+                        wind=(6.0, 0.0, 0.0))
+        sc, _ = self._reset(calm)
+        sw, _ = self._reset(windy)
+        np.testing.assert_allclose(np.asarray(sc.drone.pos),
+                                   np.asarray(sw.drone.pos))
+        a = jnp.zeros((16, 4), jnp.float32).at[:, 3].set(-0.55)
+        world = calm.default_world()
+        for _ in range(30):
+            sc = jax.vmap(lambda s, aa: calm.step(s, aa, world)[0])(sc, a)
+            sw = jax.vmap(lambda s, aa: windy.step(s, aa, world)[0])(sw, a)
+        dx = np.asarray(sw.drone.pos[:, 0]) - np.asarray(sc.drone.pos[:, 0])
+        # +x wind drags the drone downwind (drag force along v_rel = v + w...
+        # reference convention: wind ADDS to velocity in the drag term,
+        # kinematics.py:35, so +x wind pushes -x? No: F ~ -|v+w| (v+w) — a
+        # positive wind on a hovering drone gives F_x < 0.
+        assert np.abs(dx).min() > 1e-3  # wind measurably alters the paths
+        assert (dx < 0).all()  # the reference's sign convention (drag on v+w)
+
+    def test_wind_randomization_per_env_and_episode(self):
+        import jax
+        import jax.numpy as jnp
+        from fpyv_tpu.envs.acro import AcroEnv
+        from fpyv_tpu.physics.drone import DroneParams
+
+        env = AcroEnv(params=DroneParams(att_mode="quat"),
+                      pos_low=(-2, -2, 30), pos_high=(2, 2, 35),
+                      max_episode_steps=5,
+                      wind=(1.0, 0.0, 0.0), wind_scale=0.8)
+        state, _ = self._reset(env)
+        w0 = np.asarray(state.wind)
+        assert w0.shape == (16, 3)
+        assert w0.std(axis=0).max() > 0.2  # per-env gusts
+        assert abs(w0[:, 0].mean() - 1.0) < 0.8  # centered on the base wind
+        # run past truncation: wind resamples on auto-reset
+        a = jnp.zeros((16, 4), jnp.float32).at[:, 3].set(-0.55)
+        world = env.default_world()
+        for _ in range(6):
+            state = jax.vmap(lambda s, aa: env.step(s, aa, world)[0])(state, a)
+        w1 = np.asarray(state.wind)
+        assert np.abs(w1 - w0).max() > 1e-3
+
+    def test_pallas_env_wind_parity(self):
+        """Kernel wind rows vs the XLA env (no-reset segment)."""
+        import jax
+        import jax.numpy as jnp
+        from fpyv_tpu.envs.acro import AcroEnv
+        from fpyv_tpu.ops.pallas_env import pallas_env_rollout
+        from fpyv_tpu.physics.drone import DroneParams
+        from fpyv_tpu.physics.world import update_targets
+
+        env = AcroEnv(params=DroneParams(att_mode="quat"),
+                      pos_low=(-5, -5, 30), pos_high=(5, 5, 40),
+                      max_episode_steps=10_000,
+                      wind=(2.0, -1.0, 0.0), wind_scale=0.5,
+                      dtype=jnp.float32)
+        world = env.default_world()
+        N = 64
+        keys = jax.random.split(jax.random.key(4), N)
+        state, _ = jax.vmap(lambda k: env.reset(k, world))(keys)
+        action = jnp.zeros((N, 4), jnp.float32).at[:, 3].set(-0.55)
+        K = 20
+
+        def body(carry, _):
+            st, w = carry
+            w = update_targets(w)
+            st, obs, r, d, _ = jax.vmap(
+                lambda s, aa: env.step(s, aa, w))(st, action)
+            return (st, w), d
+
+        (ref_st, _), dones = jax.lax.scan(body, (state, world), None, length=K)
+        assert not np.asarray(dones).any()
+        out_st, _, _ = pallas_env_rollout(env, state, action, world, K,
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(out_st.drone.pos),
+                                   np.asarray(ref_st.drone.pos), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(out_st.wind),
+                                   np.asarray(state.wind), atol=1e-6)

@@ -167,3 +167,141 @@ class TestAutoReset:
                                       np.asarray(b.drone.pos))
         assert np.abs(np.asarray(a.drone.pos)
                       - np.asarray(c.drone.pos)).max() > 1e-3
+
+
+class TestReferenceShapedWorld:
+    """The params.yaml-shaped world (targets + cylinders + gate track +
+    ground, config/params.yaml:6-35) runs IN-KERNEL: parity vs the XLA env
+    until the first reset event."""
+
+    def _setup(self):
+        env = AcroEnv(
+            params=DroneParams(att_mode="quat"),
+            pos_low=(-5.0, -5.0, 30.0),
+            pos_high=(5.0, 5.0, 40.0),
+            max_episode_steps=10_000,
+            dtype=jnp.float32,
+        )
+        from fpyv_tpu.config import FpyvConfig
+        from fpyv_tpu.world.generators import WorldSpec, build_world
+
+        spec = WorldSpec.from_config(FpyvConfig().simulator, seed=2)
+        world = build_world(spec, dtype=jnp.float32)
+        assert world.num_cylinders >= 1 and world.num_gates >= 1
+        N = 64
+        keys = jax.random.split(jax.random.key(9), N)
+        state, _ = jax.vmap(lambda k: env.reset(k, world))(keys)
+        action = jnp.zeros((N, 4), jnp.float32).at[:, 3].set(-0.55)
+        return env, world, state, action
+
+    def test_matches_xla_env(self):
+        env, world, state, action = self._setup()
+        K = 20
+        ref_st, ref_w, ref_r, ref_d = xla_rollout(env, state, world, action, K)
+        assert not np.asarray(ref_d).any(), "test premise: no resets"
+        out_st, out_w, rsum = pallas_env_rollout(
+            env, state, action, world, K, seed=0, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_st.drone.pos),
+                                   np.asarray(ref_st.drone.pos), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out_st.drone.att),
+                                   np.asarray(ref_st.drone.att), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rsum),
+                                   np.asarray(ref_r).sum(axis=0), atol=2e-3)
+
+    def test_cylinder_crash_parity(self):
+        """Drones dropped into the obstacle field: crash flags + auto-reset
+        fire identically step-for-step until the first reset."""
+        env, world, state, action = self._setup()
+        # teleport the bank into a low band crossing the cylinders
+        drone = state.drone
+        pos = drone.pos.at[:, 2].set(
+            jnp.linspace(0.3, 3.0, pos_n := drone.pos.shape[0],
+                         dtype=jnp.float32))
+        cylx = world.cyl_center[0, 0]
+        pos = pos.at[:, 0].set(
+            cylx + jnp.linspace(-3, 3, pos_n, dtype=jnp.float32))
+        pos = pos.at[:, 1].set(world.cyl_center[0, 1])
+        state = state.replace(drone=drone.replace(pos=pos),
+                              prev_dist=jnp.linalg.norm(
+                                  world.sphere_center[0] - pos, axis=-1))
+        ref_st, _, ref_r, ref_d = xla_rollout(env, state, world, action, 1)
+        out_st, _, rsum = pallas_env_rollout(env, state, action, world, 1,
+                                             interpret=True)
+        ref_d = np.asarray(ref_d)[0]
+        assert ref_d.any(), "premise: some drones crash into cylinders"
+        np.testing.assert_allclose(np.asarray(rsum), np.asarray(ref_r)[0],
+                                   atol=2e-3)
+        # non-crashed envs advanced identically
+        ok = ~ref_d
+        np.testing.assert_allclose(np.asarray(out_st.drone.pos)[ok],
+                                   np.asarray(ref_st.drone.pos)[ok], atol=2e-4)
+
+
+class TestDomainRandInKernel:
+    def _setup(self, randomize=True):
+        env = AcroEnv(
+            params=DroneParams(att_mode="quat"),
+            pos_low=(-5.0, -5.0, 30.0),
+            pos_high=(5.0, 5.0, 40.0),
+            max_episode_steps=10_000,
+            randomize=randomize,
+            dtype=jnp.float32,
+        )
+        world = env.default_world()
+        N = 64
+        keys = jax.random.split(jax.random.key(5), N)
+        state, _ = jax.vmap(lambda k: env.reset(k, world))(keys)
+        action = jnp.zeros((N, 4), jnp.float32).at[:, 3].set(-0.55)
+        return env, world, state, action
+
+    def test_initial_dr_parity_no_reset(self):
+        """With the SAME initial DomainRand (sampled by the XLA reset), the
+        kernel's randomized physics matches the XLA env until a reset."""
+        env, world, state, action = self._setup()
+        # sanity: the reset sampled non-nominal scales
+        ms = np.asarray(state.domain_rand.mass_scale)
+        assert ms.std() > 0.02
+        K = 20
+        ref_st, _, ref_r, ref_d = xla_rollout(env, state, world, action, K)
+        assert not np.asarray(ref_d).any()
+        out_st, _, rsum = pallas_env_rollout(env, state, action, world, K,
+                                             interpret=True)
+        np.testing.assert_allclose(np.asarray(out_st.drone.pos),
+                                   np.asarray(ref_st.drone.pos), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(rsum),
+                                   np.asarray(ref_r).sum(axis=0), atol=2e-3)
+        # DR rows round-trip unchanged (no reset happened)
+        np.testing.assert_allclose(np.asarray(out_st.domain_rand.mass_scale),
+                                   ms, atol=1e-6)
+
+    def test_dr_resampled_on_reset(self):
+        env, world, state, action = self._setup()
+        env_short = AcroEnv(
+            params=env.params, pos_low=env.pos_low, pos_high=env.pos_high,
+            max_episode_steps=6, randomize=True, dtype=jnp.float32,
+        )
+        ms0 = np.asarray(state.domain_rand.mass_scale)
+        out_st, _, _ = pallas_env_rollout(env_short, state, action, world, 10,
+                                          seed=13, interpret=True)
+        ms = np.asarray(out_st.domain_rand.mass_scale)
+        ds = np.asarray(out_st.domain_rand.drag_scale)
+        ts = np.asarray(out_st.domain_rand.thrust_scale)
+        # resampled: inside the configured ranges, different from initial,
+        # and non-degenerate across envs
+        assert (ms >= 0.8).all() and (ms <= 1.2).all()
+        assert (ds >= 0.7).all() and (ds <= 1.3).all()
+        assert (ts >= 0.85).all() and (ts <= 1.15).all()
+        assert np.abs(ms - ms0).max() > 1e-3
+        assert ms.std() > 0.02
+
+    def test_nominal_env_keeps_ones(self):
+        env, world, state, action = self._setup(randomize=False)
+        env_short = AcroEnv(
+            params=env.params, pos_low=env.pos_low, pos_high=env.pos_high,
+            max_episode_steps=6, randomize=False, dtype=jnp.float32,
+        )
+        out_st, _, _ = pallas_env_rollout(env_short, state, action, world, 10,
+                                          interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out_st.domain_rand.mass_scale),
+            np.ones_like(np.asarray(out_st.domain_rand.mass_scale)))
