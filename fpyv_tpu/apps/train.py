@@ -48,12 +48,14 @@ def train_acro(
     learning_rate: float = 3e-4,
     print_every: int = 10,
     scan_chunk: int = 10,  # iterations per device call (amortizes dispatch)
+    shuffle_block: int = 64,  # PPO minibatch shuffle granularity (rl/ppo.py)
 ) -> TrainResult:
     env = AcroEnv(params=DroneParams(att_mode="quat"), randomize=randomize)
     world = env.default_world()
     net = ActorCritic(action_dim=4, hidden=tuple(hidden))
     config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
-                       learning_rate=learning_rate)
+                       learning_rate=learning_rate,
+                       shuffle_block=shuffle_block)
 
     def env_step(env_state, action, key):
         st, obs, reward, done, info = jax.vmap(
@@ -137,6 +139,192 @@ def _train_loop(state, train_iteration, *, num_envs, num_steps,
         iterations=num_iterations,
         mean_reward_first=first_reward,
         mean_reward_last=last_reward,
+        steps_per_second=meter.rate(),
+    )
+
+
+def train_race(
+    num_envs: int = 1024,  # race instances (agents = num_envs * n_agents)
+    n_agents: int = 4,
+    num_iterations: int = 300,
+    num_steps: int = 32,
+    seed: int = 0,
+    log_dir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100,
+    resume: bool = False,
+    hidden=(128, 128),
+    learning_rate: float = 3e-4,
+    print_every: int = 10,
+    scan_chunk: int = 10,
+) -> TrainResult:
+    """Shared-policy PPO on the multi-agent race env (BASELINE config #5).
+
+    All agents share one ActorCritic; the learner sees a flat
+    (num_envs * n_agents) batch through make_shared_policy_env_step. The
+    logged info carries mean gates_passed and the per-step gate-passing
+    rate so the learning signal the task is ABOUT (racing through gates,
+    the scale-up of the reference's toy ma_com_simple_env) is measured,
+    not just reward.
+    """
+    from fpyv_tpu.envs.multi_race import (
+        MultiRaceEnv, make_shared_policy_env_step)
+
+    env = MultiRaceEnv(n_agents=n_agents)
+    world = env.default_world()
+    env_step, reset_fn = make_shared_policy_env_step(env, world, n_envs=num_envs)
+    net = ActorCritic(action_dim=4, hidden=tuple(hidden))
+    config = PpoConfig(num_envs=num_envs * n_agents, num_steps=num_steps,
+                       learning_rate=learning_rate)
+
+    def race_metrics(env_state):
+        gates = env_state.gates_passed.astype(jnp.float32)
+        t = jnp.maximum(env_state.t, 1).astype(jnp.float32)[..., None]
+        return {
+            "mean_gates_passed": gates.mean(),
+            # rolling per-step passing rate (x100): robust to auto-resets
+            # zeroing the counters mid-stream
+            "gates_per_100_steps": (gates / t).mean() * 100.0,
+        }
+
+    key = jax.random.key(seed)
+    k_env, k_net, k_train = jax.random.split(key, 3)
+    env_state, obs = reset_fn(k_env)
+    params = net.init(k_net, obs[:1])
+    init, train_iteration = make_ppo(net.apply, env_step, config,
+                                     metrics_fn=race_metrics)
+    state = init(params, env_state, obs, k_train)
+
+    start_iter = 0
+    if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
+        start_iter = latest_step(checkpoint_dir)
+        state = restore_checkpoint(checkpoint_dir, start_iter, template=state)
+        print(f"resumed from checkpoint at iteration {start_iter}")
+
+    return _train_loop(
+        state, train_iteration, num_envs=num_envs * n_agents,
+        num_steps=num_steps, num_iterations=num_iterations,
+        start_iter=start_iter, scan_chunk=scan_chunk, log_dir=log_dir,
+        print_every=print_every, checkpoint_dir=checkpoint_dir,
+        checkpoint_every=checkpoint_every,
+    )
+
+
+def train_es(
+    env_name: str = "acro",
+    num_envs: int = 256,  # eval envs per candidate (fitness batch)
+    num_iterations: int = 400,  # generations
+    num_steps: int = 60,  # rollout horizon per fitness evaluation
+    n_perturbations: int = 128,  # population = 2x this (antithetic pairs)
+    fitness_tail: Optional[int] = None,  # mean reward over the last N steps
+    #   (None = whole rollout; BENCH: terminal-error fitness learns the
+    #    attitude task far faster than path-average)
+    seed: int = 0,
+    distributed: bool = False,
+    randomize: bool = False,
+    noise_std: float = 0.05,
+    learning_rate: float = 0.02,
+    sigma_decay: float = 1.0,
+    hidden=(64, 64),
+    log_dir: Optional[str] = None,
+    print_every: int = 10,
+    scan_chunk: int = 50,  # generations per device call
+) -> TrainResult:
+    """Evolutionary-strategies trainer: gradient-free NES on the policy.
+
+    The reference's evolutionary-search sketch (tests/monte_carlo_search.py:
+    8-29) scaled up: every generation evaluates 2*n_perturbations candidate
+    policies, each on its own bank of ``num_envs`` vectorized envs — one
+    device program per ``scan_chunk`` generations. With ``distributed`` the
+    POPULATION axis shards over the device mesh (each chip rolls out its
+    slice of the candidates; pure DP — see rl/es.py make_policy_es).
+
+    The deterministic policy is tanh(actor mean) of the same ActorCritic
+    net PPO uses, so ES and PPO are directly comparable on a task.
+    """
+    from fpyv_tpu.rl.es import make_policy_es
+
+    if env_name == "acro":
+        env = AcroEnv(params=DroneParams(att_mode="quat"), randomize=randomize)
+        world = env.default_world()
+        action_dim = 4
+
+        def reset_fn(k):
+            return env.reset(k, world)
+
+        def step_fn(s, a):
+            return env.step(s, a, world)
+
+    elif env_name == "rotate":
+        from fpyv_tpu.envs.rotate import RotateEnv
+
+        env = RotateEnv()
+        action_dim = 3
+        reset_fn = env.reset
+        step_fn = env.step
+    else:
+        raise ValueError(f"unknown env for ES: {env_name!r}")
+
+    net = ActorCritic(action_dim=action_dim, hidden=tuple(hidden))
+    key = jax.random.key(seed)
+    k_net, k_train = jax.random.split(key)
+    _, obs0 = reset_fn(jax.random.key(0))
+    params = net.init(k_net, obs0.reshape(1, -1))
+
+    tail = num_steps if fitness_tail is None else min(fitness_tail, num_steps)
+
+    def fitness(p, k):
+        env_state, obs = jax.vmap(reset_fn)(jax.random.split(k, num_envs))
+
+        def body(carry, _):
+            env_state, obs = carry
+            mean, _, _ = net.apply(p, obs.reshape(obs.shape[0], -1))
+            env_state, obs, r, d, _ = jax.vmap(step_fn)(
+                env_state, jnp.tanh(mean))
+            return (env_state, obs), r.mean()
+
+        _, rs = jax.lax.scan(body, (env_state, obs), None, length=num_steps)
+        return rs[-tail:].mean()
+
+    mesh = None
+    if distributed:
+        from fpyv_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    init_state, run_chunk, unravel = make_policy_es(
+        params, fitness, n_perturbations=n_perturbations,
+        noise_std=noise_std, learning_rate=learning_rate, mesh=mesh,
+        sigma_decay=sigma_decay)
+
+    logger = MetricsLogger(log_dir, print_every=print_every)
+    meter = Throughput()
+    jit_chunk = jax.jit(run_chunk)
+    es_state = init_state()
+    steps_per_gen = 2 * n_perturbations * num_envs * num_steps
+
+    it, first_fit, last_fit = 0, float("nan"), float("nan")
+    first_chunk = True
+    while it < num_iterations:
+        n = min(scan_chunk, num_iterations - it)
+        keys = jax.random.split(jax.random.fold_in(k_train, it), n)
+        es_state, hist = jit_chunk(es_state, keys)
+        hist = np.asarray(jax.device_get(hist), np.float64)
+        if first_chunk:
+            first_fit = float(hist[0])
+            meter.reset()  # exclude the compile chunk from throughput
+            first_chunk = False
+        else:
+            meter.add(steps_per_gen * n)
+        last_fit = float(hist[-1])
+        for i in range(n):
+            logger.log(it + i, {"gen_best_fitness": hist[i]})
+        it += n
+    logger.close()
+
+    return TrainResult(
+        iterations=num_iterations,
+        mean_reward_first=first_fit,
+        mean_reward_last=last_fit,
         steps_per_second=meter.rate(),
     )
 

@@ -31,11 +31,35 @@ def _cmd_sim(args):
 
 
 def _cmd_train(args):
-    from fpyv_tpu.apps.train import train_acro, train_vision
+    from fpyv_tpu.apps.train import (train_acro, train_es, train_race,
+                                     train_vision)
 
-    if args.vision:
+    num_envs = args.num_envs or (
+        256 if args.algo == "es"
+        else 1024 if (args.vision or args.env == "race") else 4096)
+    if args.env == "race":
+        if args.algo == "es" or args.vision:
+            raise SystemExit("--env race runs shared-policy PPO "
+                             "(no --vision / --algo es)")
+        res = train_race(
+            num_envs=num_envs, n_agents=args.agents,
+            num_iterations=args.iterations, num_steps=args.num_steps,
+            seed=args.seed, log_dir=args.log_dir,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+        )
+    elif args.algo == "es":
+        res = train_es(
+            env_name=args.env, num_envs=num_envs,
+            num_iterations=args.iterations, num_steps=args.num_steps,
+            n_perturbations=args.population // 2,
+            fitness_tail=args.fitness_tail, seed=args.seed,
+            distributed=args.distributed, randomize=args.randomize,
+            noise_std=args.noise_std, sigma_decay=args.sigma_decay,
+            learning_rate=args.es_lr, log_dir=args.log_dir,
+        )
+    elif args.vision:
         res = train_vision(
-            num_envs=args.num_envs, num_iterations=args.iterations,
+            num_envs=num_envs, num_iterations=args.iterations,
             num_steps=args.num_steps, seed=args.seed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             randomize_worlds=args.randomize, renderer=args.renderer,
@@ -43,7 +67,7 @@ def _cmd_train(args):
         )
     else:
         res = train_acro(
-            num_envs=args.num_envs, num_iterations=args.iterations,
+            num_envs=num_envs, num_iterations=args.iterations,
             num_steps=args.num_steps, seed=args.seed,
             distributed=args.distributed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
@@ -159,8 +183,30 @@ def main(argv=None):
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=_cmd_sim)
 
-    tp = sub.add_parser("train", help="PPO training on the acro env")
-    tp.add_argument("--num-envs", type=int, default=4096)
+    tp = sub.add_parser("train", help="policy training on the acro env")
+    tp.add_argument("--algo", choices=["ppo", "es"], default="ppo",
+                    help="learner: PPO (gradient) or NES evolutionary "
+                         "search (gradient-free, population-parallel)")
+    tp.add_argument("--env", choices=["acro", "rotate", "race"],
+                    default="acro",
+                    help="task: acro chase (default), attitude rotate (es), "
+                         "or the multi-agent gate race (shared-policy PPO)")
+    tp.add_argument("--agents", type=int, default=4,
+                    help="(race) drones per race instance")
+    tp.add_argument("--population", type=int, default=256,
+                    help="(es) candidates per generation (antithetic pairs)")
+    tp.add_argument("--noise-std", type=float, default=0.05,
+                    help="(es) initial perturbation sigma")
+    tp.add_argument("--sigma-decay", type=float, default=1.0,
+                    help="(es) sigma anneal on non-improving generations")
+    tp.add_argument("--es-lr", type=float, default=0.02,
+                    help="(es) NES gradient step size")
+    tp.add_argument("--fitness-tail", type=int, default=None,
+                    help="(es) fitness = mean reward over the last N steps "
+                         "(default: whole rollout)")
+    tp.add_argument("--num-envs", type=int, default=None,
+                    help="parallel envs (default 4096 ppo / 1024 vision / "
+                         "256-per-candidate es)")
     tp.add_argument("--iterations", type=int, default=100)
     tp.add_argument("--num-steps", type=int, default=32)
     tp.add_argument("--seed", type=int, default=0)

@@ -44,6 +44,7 @@ class MultiRaceState:
     drones: DroneState  # fields have leading dim (..., A)
     next_gate: jnp.ndarray  # (..., A) int32
     prev_gate_dist: jnp.ndarray  # (..., A) signed plane distance to next gate
+    prev_center_dist: jnp.ndarray  # (..., A) distance to next gate CENTER
     gates_passed: jnp.ndarray  # (..., A) int32 total
     t: jnp.ndarray  # (...,) int32
     key: jnp.ndarray
@@ -161,9 +162,10 @@ class MultiRaceEnv:
         key, kd = jax.random.split(key)
         drones = self._sample_drones(kd)
         next_gate = jnp.zeros((self.n_agents,), jnp.int32)
-        plane_d, _, _ = self._gate_info(world, next_gate, drones.pos)
+        plane_d, _, to_gate = self._gate_info(world, next_gate, drones.pos)
         state = MultiRaceState(
             drones=drones, next_gate=next_gate, prev_gate_dist=plane_d,
+            prev_center_dist=jnp.linalg.norm(to_gate, axis=-1),
             gates_passed=jnp.zeros((self.n_agents,), jnp.int32),
             t=jnp.zeros((), jnp.int32), key=key,
             episode_return=jnp.zeros((self.n_agents,), self.dtype),
@@ -192,7 +194,8 @@ class MultiRaceEnv:
         drones = drones.replace(done=crashed)
 
         # gate passing
-        plane_d, lateral, _ = self._gate_info(world, state.next_gate, drones.pos)
+        plane_d, lateral, to_gate = self._gate_info(
+            world, state.next_gate, drones.pos)
         passed = (
             (state.prev_gate_dist < 0) & (plane_d >= 0)
             & (lateral < world.gate_size[state.next_gate] / 2.0)
@@ -201,11 +204,19 @@ class MultiRaceEnv:
         next_gate = jnp.where(
             passed, (state.next_gate + 1) % self.n_gates, state.next_gate)
         gates_passed = state.gates_passed + passed.astype(jnp.int32)
-        # recompute plane distance for the (possibly new) gate
-        plane_d_new, _, _ = self._gate_info(world, next_gate, drones.pos)
+        # recompute distances for the (possibly new) gate
+        plane_d_new, _, to_gate_new = self._gate_info(world, next_gate, drones.pos)
+        center_d_new = jnp.linalg.norm(to_gate_new, axis=-1)
 
+        # progress = decrease in distance to the next gate CENTER. Bounded
+        # by the leg length (unlike signed plane distance, which a policy
+        # can farm forever by crossing the plane OUTSIDE the gate and
+        # flying away — observed: reward 0.004 -> 0.71/step while
+        # gates_passed fell; this shaping makes gate passage the only
+        # renewable reward source).
+        center_d = jnp.linalg.norm(to_gate, axis=-1)
         progress = jnp.where(
-            passed, 0.0, plane_d - state.prev_gate_dist)  # toward plane from behind
+            passed, 0.0, state.prev_center_dist - center_d)
         reward = (
             self.w_gate * passed.astype(self.dtype)
             + self.w_progress * progress.astype(self.dtype)
@@ -219,6 +230,7 @@ class MultiRaceEnv:
 
         next_state = MultiRaceState(
             drones=drones, next_gate=next_gate, prev_gate_dist=plane_d_new,
+            prev_center_dist=center_d_new,
             gates_passed=gates_passed, t=t, key=state.key,
             episode_return=ep_ret,
         )
@@ -259,7 +271,10 @@ def make_shared_policy_env_step(env: MultiRaceEnv, world: Optional[World] = None
         actions = action.reshape(n_envs, A, -1)
         st, obs, reward, done, info = jax.vmap(
             lambda s, a: env.step(s, a, world))(env_state, actions)
-        done_flat = jnp.repeat(done, A)
+        # termination per agent: its own crash (absorbing state — value
+        # bootstraps to 0 there) OR the whole-env reset (obs jumps to the
+        # respawn; bootstrapping across it would corrupt GAE)
+        done_flat = (info["crashed"] | done[:, None]).reshape(-1)
         return st, obs.reshape(n_envs * A, -1), reward.reshape(-1), done_flat
 
     return env_step, reset_fn

@@ -40,9 +40,18 @@ def make_hybrid_mesh(axis: str = ENV_AXIS) -> Mesh:
     n_proc = jax.process_count()
     if n_proc <= 1:
         return make_mesh(axis=axis)
-    per_host = len(jax.devices()) // n_proc
+    devices = jax.devices()
+    per_host = len(devices) // n_proc
+    # DCN granule = the island of fast interconnect. On multi-SLICE TPU
+    # that's the slice (devices carry slice_index); on a single slice
+    # spanning hosts, or on multi-process CPU (the 2-process test rig,
+    # tools/dcn_worker.py), devices have no slice_index (or one slice) and
+    # the granule is the process.
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    by_process = None in slice_ids or len(slice_ids) != n_proc
     mesh_arr = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=(per_host,), dcn_mesh_shape=(n_proc,),
+        process_is_granule=by_process,
     )
     return Mesh(mesh_arr.reshape(-1), (axis,))
 

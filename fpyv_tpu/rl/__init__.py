@@ -10,4 +10,4 @@ from fpyv_tpu.rl.ppo import PpoConfig, PpoState, make_ppo, scan_train  # noqa: F
 from fpyv_tpu.rl.gae import compute_gae  # noqa: F401
 from fpyv_tpu.rl.sac import SacConfig, SacState, make_sac  # noqa: F401
 from fpyv_tpu.rl.replay import ReplayBuffer, replay_init  # noqa: F401
-from fpyv_tpu.rl.es import monte_carlo_search, policy_es  # noqa: F401
+from fpyv_tpu.rl.es import make_policy_es, monte_carlo_search, policy_es  # noqa: F401

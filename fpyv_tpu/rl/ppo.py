@@ -79,12 +79,15 @@ def make_ppo(
     apply_fn: Callable,  # apply_fn(params, obs) -> (mean, log_std, value)
     env_step: Callable,  # env_step(env_state, action, key) -> (env_state, obs, reward, done)
     config: PpoConfig,
+    metrics_fn: Optional[Callable] = None,  # metrics_fn(env_state) -> dict
 ):
     """Build (init, train_iteration) for a vectorized env.
 
     ``env_step`` is the vectorized step over the local env bank: actions
     (N, A) in, obs (N, O) / reward (N,) / done (N,) out. Auto-reset must be
-    inside it (fpyv_tpu.envs do this).
+    inside it (fpyv_tpu.envs do this). ``metrics_fn`` (optional) maps the
+    post-rollout env state to extra scalar metrics merged into the
+    iteration info (e.g. the race env's mean gates_passed).
     """
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
@@ -217,6 +220,8 @@ def make_ppo(
             "mean_episode_done": traj.done.mean(),
             **{k: v.mean() for k, v in metrics.items()},
         }
+        if metrics_fn is not None:
+            info.update(metrics_fn(env_state))
         return new_state, info
 
     return init, train_iteration

@@ -332,6 +332,23 @@ class TestMultiRacePpo:
         assert np.isfinite(float(np.asarray(info["loss"])))
         assert np.isfinite(float(np.asarray(info["mean_reward"])))
 
+    def test_train_race_app_reports_gate_metrics(self, tmp_path):
+        """The race trainer app logs the task-level metrics (gates_passed,
+        gate rate) through PPO's metrics_fn hook."""
+        import json
+        from fpyv_tpu.apps.train import train_race
+
+        log_dir = str(tmp_path / "race")
+        res = train_race(num_envs=4, n_agents=3, num_iterations=4,
+                         num_steps=8, scan_chunk=2, hidden=(16,),
+                         log_dir=log_dir, print_every=100)
+        assert np.isfinite(res.mean_reward_last)
+        rows = [json.loads(line) for line in
+                open(f"{log_dir}/metrics.jsonl", encoding="utf-8")]
+        assert len(rows) == 4
+        assert "mean_gates_passed" in rows[0]
+        assert "gates_per_100_steps" in rows[0]
+
 
 class TestWind:
     """VERDICT #8: wind + wind randomization exposed in the envs

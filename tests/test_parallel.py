@@ -1,6 +1,9 @@
 """Distributed tests on the 8-virtual-device CPU mesh: sharded rollouts,
 determinism across shard layouts, distributed PPO step."""
 
+import pytest
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -114,3 +117,51 @@ class TestPpoLearning:
             state, info = iteration(state)
             rewards.append(float(np.asarray(info["mean_reward"])))
         assert np.mean(rewards[-5:]) > np.mean(rewards[:5]) + 0.05, rewards
+
+
+@pytest.mark.slow
+class TestDcnTwoProcess:
+    def test_hybrid_mesh_two_process_ppo(self, tmp_path):
+        """VERDICT #6: make_hybrid_mesh's multi-process (DCN) branch actually
+        executes — 2 coordinated processes x 4 virtual CPU devices each run
+        one distributed PPO iteration over the global 8-device mesh
+        (multi-controller SPMD; gRPC stands in for DCN)."""
+        import json
+        import socket
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parents[1]
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(repo / "tools" / "dcn_worker.py"),
+                 str(i), "2", coord],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                cwd=repo, env=env, text=True)
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            assert p.returncode == 0, err[-3000:]
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        for rank, o in enumerate(outs):
+            assert o["ok"], o
+            assert o["process_count"] == 2
+            assert o["mesh_size"] == 8
+        # SPMD: both processes computed the SAME replicated losses
+        assert outs[0]["losses"] == outs[1]["losses"], outs
