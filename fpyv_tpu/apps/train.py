@@ -101,8 +101,14 @@ def train_acro(
 
 def _train_loop(state, train_iteration, *, num_envs, num_steps,
                 num_iterations, start_iter, scan_chunk, log_dir, print_every,
-                checkpoint_dir, checkpoint_every) -> TrainResult:
-    """The chunked host loop shared by every trainer in this module."""
+                checkpoint_dir, checkpoint_every,
+                chunk_hook=None) -> TrainResult:
+    """The chunked host loop shared by every trainer in this module.
+
+    ``chunk_hook(state, it) -> state`` (optional) runs before each device
+    chunk — the curriculum's world-resample point (data swaps only; the
+    compiled program is unchanged because worlds flow through the carry).
+    """
     logger = MetricsLogger(log_dir, print_every=print_every)
     meter = Throughput()
     first_reward = last_reward = float("nan")
@@ -116,6 +122,8 @@ def _train_loop(state, train_iteration, *, num_envs, num_steps,
     first_chunk = True
     while it < end:
         n = min(scan_chunk, end - it)
+        if chunk_hook is not None:
+            state = chunk_hook(state, it)
         state, infos = jit_scan(train_iteration, state, n)
         # ONE device->host transfer per chunk: per-scalar np.asarray() calls
         # each cost a full tunnel round trip and would dwarf device time
@@ -346,6 +354,10 @@ def train_vision(
     num_minibatches: int = 8,
     renderer: str = "raycast",
     target_only: bool = False,
+    compute_dtype="bf16",  # conv-torso compute: 'bf16' (default) | 'f32'
+    curriculum_iters: Optional[int] = None,  # ramp world difficulty 0 -> 1
+    #   over this many iterations (obstacle count/size; requires
+    #   randomize_worlds); worlds resample every chunk at the ramped level
 ) -> TrainResult:
     """Pixels-to-action PPO: VisionAcroEnv depth observations through the
     conv policy (PixelActorCritic), rendered inside the jitted rollout.
@@ -366,18 +378,28 @@ def train_vision(
     from fpyv_tpu.envs.vision_acro import VisionAcroEnv
     from fpyv_tpu.models.policy import PixelActorCritic
 
+    from fpyv_tpu.world.randomize import curriculum_worlds
+
     env = VisionAcroEnv(renderer=renderer, target_only=target_only,
                         **({"rig": rig} if rig is not None else {}))
     key = jax.random.key(seed)
     k_world, k_env, k_net, k_train = jax.random.split(key, 4)
+    if curriculum_iters and not randomize_worlds:
+        raise ValueError("curriculum_iters requires randomize_worlds=True")
+    jit_curriculum = jax.jit(
+        lambda k, d: curriculum_worlds(k, num_envs, d))
     if randomize_worlds:
         worlds, bank = env.make_randomized_worlds(k_world, num_envs)
+        if curriculum_iters:
+            worlds = jit_curriculum(k_world, 0.0)
     else:
         world, bank = env.make_world()
         worlds = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), world)
 
-    net = PixelActorCritic(action_dim=4)
+    net = PixelActorCritic(
+        action_dim=4,
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None)
     config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
                        learning_rate=learning_rate,
                        num_minibatches=num_minibatches)
@@ -387,10 +409,14 @@ def train_vision(
             [obs["rates"], obs["accel_z"], obs["thrust"]], axis=-1)
         return net.apply(params, obs["pixels"], proprio)
 
-    def env_step(env_state, action, key):
+    # worlds ride the PPO carry: the curriculum hook swaps them between
+    # chunks as DATA (a closure capture would bake them into the compiled
+    # program as constants -> recompile on every swap)
+    def env_step(carry, action, key):
+        env_state, w = carry
         st, obs, reward, done, info = jax.vmap(
-            lambda s, a, w: env.step(s, a, w, bank))(env_state, action, worlds)
-        return st, obs, reward, info["crashed"]
+            lambda s, a, wi: env.step(s, a, wi, bank))(env_state, action, w)
+        return (st, w), obs, reward, info["crashed"]
 
     env_keys = jax.random.split(k_env, num_envs)
     env_state, obs = jax.vmap(
@@ -400,7 +426,7 @@ def train_vision(
                                        obs["thrust"][:1]], axis=-1))
 
     init, train_iteration = make_ppo(apply_fn, env_step, config)
-    state = init(params, env_state, obs, k_train)
+    state = init(params, (env_state, worlds), obs, k_train)
 
     start_iter = 0
     if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
@@ -408,9 +434,19 @@ def train_vision(
         state = restore_checkpoint(checkpoint_dir, start_iter, template=state)
         print(f"resumed from checkpoint at iteration {start_iter}")
 
+    chunk_hook = None
+    if curriculum_iters:
+        def chunk_hook(state, it):
+            d = min(1.0, it / curriculum_iters)
+            new_worlds = jit_curriculum(jax.random.fold_in(k_world, it),
+                                        jnp.float32(d))
+            env_state, _ = state.env_state
+            return state.replace(env_state=(env_state, new_worlds))
+
     return _train_loop(
         state, train_iteration, num_envs=num_envs, num_steps=num_steps,
         num_iterations=num_iterations, start_iter=start_iter,
         scan_chunk=scan_chunk, log_dir=log_dir, print_every=print_every,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        chunk_hook=chunk_hook,
     )

@@ -23,9 +23,24 @@ def _cmd_sim(args):
     from fpyv_tpu.config import FpyvConfig
 
     cfg = FpyvConfig.from_yaml(args.params) if args.params else FpyvConfig()
-    out = run_simulator(cfg, steps=args.steps, render=args.render,
-                        guided=not args.no_guidance,
-                        use_joystick=args.joystick, seed=args.seed)
+    sink = None
+    if args.save_video:
+        if args.render != "2d":
+            raise SystemExit("--save-video requires --render 2d (FPV frames)")
+        from fpyv_tpu.viz.video import VideoWriterSink
+
+        sink = VideoWriterSink(args.save_video, fps=cfg.simulator.fps)
+    try:
+        out = run_simulator(cfg, steps=args.steps, render=args.render,
+                            guided=not args.no_guidance,
+                            use_joystick=args.joystick, seed=args.seed,
+                            frame_sink=sink)
+    finally:
+        if sink is not None:
+            sink.close()
+    if sink is not None:
+        out["video"] = sink.path
+        out["video_frames"] = sink.frames_written
     print(json.dumps({k: (v.tolist() if hasattr(v, "tolist") else v)
                       for k, v in out.items()}))
 
@@ -64,6 +79,7 @@ def _cmd_train(args):
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             randomize_worlds=args.randomize, renderer=args.renderer,
             target_only=args.target_only,
+            curriculum_iters=args.curriculum,
         )
     else:
         res = train_acro(
@@ -180,6 +196,10 @@ def main(argv=None):
     sp.add_argument("--render", choices=["none", "2d", "3d"], default="none")
     sp.add_argument("--no-guidance", action="store_true")
     sp.add_argument("--joystick", action="store_true")
+    sp.add_argument("--save-video", default=None, metavar="PATH",
+                    help="record the FPV view (HUD included) to a video "
+                         "file — the headless twin of the reference's live "
+                         "cv2 window (requires --render 2d)")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=_cmd_sim)
 
@@ -221,6 +241,9 @@ def main(argv=None):
     tp.add_argument("--target-only", action="store_true",
                     help="render only the chased target (the reference's "
                          "guidance view) instead of the full world")
+    tp.add_argument("--curriculum", type=int, default=None, metavar="N",
+                    help="(vision, with --randomize) ramp world difficulty "
+                         "0 -> 1 over N iterations (obstacle count/size)")
     tp.add_argument("--log-dir", default=None)
     tp.add_argument("--checkpoint-dir", default=None)
     tp.add_argument("--resume", action="store_true")

@@ -8,7 +8,7 @@ chosen to keep the MXU busy at 4096+ envs (batched matmuls (N, H) @ (H, H)).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as fnn
@@ -71,18 +71,28 @@ class PixelActorCritic(fnn.Module):
     channels: Sequence[int] = (16, 32, 32)
     hidden: Sequence[int] = (256,)
     log_std_init: float = -0.5
+    # conv/fc torso compute dtype. bf16 keeps params/heads in f32 (mixed
+    # precision: the MXU runs bf16 at a multiple of f32 throughput and the
+    # depth-image torso is where the learner's FLOPs are); None = f32.
+    compute_dtype: Optional[type] = jnp.bfloat16
 
     @fnn.compact
     def __call__(self, pixels, proprio) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """pixels (..., H, W) in [0,1]; proprio (..., P)."""
+        dt = self.compute_dtype
         x = pixels[..., None]  # -> NHWC
+        if dt is not None:
+            x = x.astype(dt)
         for i, ch in enumerate(self.channels):
-            x = fnn.Conv(ch, (3, 3), strides=(2, 2), name=f"conv{i}")(x)
+            x = fnn.Conv(ch, (3, 3), strides=(2, 2), name=f"conv{i}",
+                         dtype=dt)(x)
             x = fnn.relu(x)
         x = x.reshape(x.shape[: pixels.ndim - 2] + (-1,))
-        x = jnp.concatenate([x, proprio], axis=-1)
+        x = jnp.concatenate(
+            [x, proprio.astype(x.dtype)], axis=-1)
         for i, h in enumerate(self.hidden):
-            x = fnn.relu(fnn.Dense(h, name=f"fc{i}")(x))
+            x = fnn.relu(fnn.Dense(h, name=f"fc{i}", dtype=dt)(x))
+        x = x.astype(jnp.float32)  # heads in f32: log_prob/value numerics
         mean = fnn.Dense(
             self.action_dim, name="pi_mean",
             kernel_init=fnn.initializers.orthogonal(0.01),

@@ -87,3 +87,26 @@ def sample_worlds(key, n_envs: int, n_spheres: int = 1, n_cylinders: int = 4,
         gate_shape=tile(base.gate_shape),
         has_ground=jnp.broadcast_to(base.has_ground, (n_envs,)),
     )
+
+
+def curriculum_worlds(key, n_envs: int, difficulty, n_spheres: int = 1,
+                      n_cylinders: int = 4,
+                      ranges: WorldRanges = WorldRanges(),
+                      dtype=jnp.float32) -> World:
+    """Difficulty-ramped :func:`sample_worlds` for curriculum training.
+
+    ``difficulty`` is a scalar in [0, 1] (may be traced — the trainer ramps
+    it across iterations without recompiling): the obstacle COUNT ramps
+    from 1 to n_cylinders via the active mask (shapes stay static) and the
+    obstacle RADIUS from 60% to 100% of the sampled value. At d=1 the
+    distribution equals sample_worlds' (modulo which RNG stream drew it).
+    """
+    d = jnp.clip(jnp.asarray(difficulty, dtype), 0.0, 1.0)
+    w = sample_worlds(key, n_envs, n_spheres, n_cylinders, ranges, dtype)
+    C = max(n_cylinders, 1)
+    n_active = jnp.ceil(d * C).astype(jnp.int32)
+    ramp = jnp.broadcast_to(jnp.arange(C) < n_active, w.cyl_active.shape)
+    return w.replace(
+        cyl_active=w.cyl_active & ramp,
+        cyl_radius=w.cyl_radius * (0.6 + 0.4 * d),
+    )
