@@ -97,6 +97,18 @@ def _cmd_train(args):
     }))
 
 
+def _cmd_play(args):
+    from fpyv_tpu.apps.play import play_policy
+
+    out = play_policy(
+        checkpoint_dir=args.checkpoint_dir, env_name=args.env,
+        steps=args.steps, num_envs=args.num_envs, seed=args.seed,
+        n_agents=args.agents, randomize_worlds=args.randomize,
+        save_video=args.save_video, chunk=args.chunk,
+    )
+    print(json.dumps(out))
+
+
 def _cmd_bench(args):
     import runpy
     from pathlib import Path
@@ -248,6 +260,22 @@ def main(argv=None):
     tp.add_argument("--checkpoint-dir", default=None)
     tp.add_argument("--resume", action="store_true")
     tp.set_defaults(fn=_cmd_train)
+
+    yp = sub.add_parser("play", help="fly a trained checkpoint (optionally "
+                                     "recording the FPV view to video)")
+    yp.add_argument("--checkpoint-dir", required=True)
+    yp.add_argument("--env", choices=["acro", "vision", "race"],
+                    default="acro")
+    yp.add_argument("--steps", type=int, default=600)
+    yp.add_argument("--num-envs", type=int, default=16)
+    yp.add_argument("--agents", type=int, default=4, help="(race)")
+    yp.add_argument("--randomize", action="store_true",
+                    help="(vision) evaluate on randomized worlds")
+    yp.add_argument("--save-video", default=None, metavar="PATH")
+    yp.add_argument("--chunk", type=int, default=120,
+                    help="steps per device call")
+    yp.add_argument("--seed", type=int, default=0)
+    yp.set_defaults(fn=_cmd_play)
 
     bp = sub.add_parser("bench", help="run the headline benchmark")
     bp.set_defaults(fn=_cmd_bench)

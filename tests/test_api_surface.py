@@ -74,3 +74,45 @@ class TestTrainVision:
         assert res.iterations == 2
         assert np.isfinite(res.mean_reward_last)
         assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+class TestPlayPolicy:
+    def test_train_checkpoint_play_roundtrip(self, tmp_path):
+        """The full loop: train acro briefly with checkpointing, then fly
+        the checkpoint deterministically via play_policy, recording video."""
+        pytest.importorskip("cv2")
+        from fpyv_tpu.apps.play import play_policy
+        from fpyv_tpu.apps.train import train_acro
+
+        ckpt = str(tmp_path / "ckpt")
+        train_acro(num_envs=8, num_iterations=2, num_steps=4, seed=0,
+                   scan_chunk=2, hidden=(16,), checkpoint_dir=ckpt,
+                   checkpoint_every=2, print_every=100)
+        video = str(tmp_path / "flight.mp4")
+        out = play_policy(checkpoint_dir=ckpt, env_name="acro", steps=12,
+                          num_envs=4, hidden=(16,), chunk=6,
+                          save_video=video)
+        assert out["steps"] == 12
+        assert np.isfinite(out["mean_reward_per_step"])
+        assert out["video_frames"] == 12
+        import os
+
+        assert os.path.getsize(video) > 1000
+
+    def test_play_race_stats(self, tmp_path):
+        """play_policy on the race env reports gates_passed without a
+        checkpoint (params handoff)."""
+        import jax
+        from fpyv_tpu.apps.play import play_policy
+        from fpyv_tpu.envs.multi_race import MultiRaceEnv
+        from fpyv_tpu.models.policy import ActorCritic
+
+        env = MultiRaceEnv(n_agents=2)
+        _, obs = env.reset(jax.random.key(0))
+        net = ActorCritic(action_dim=4, hidden=(16,))
+        params = net.init(jax.random.key(1), obs.reshape(2, -1)[:1])
+        out = play_policy(checkpoint_dir=None, env_name="race", steps=8,
+                          num_envs=4, n_agents=2, hidden=(16,), chunk=4,
+                          params=params)
+        assert "final_gates_passed_mean" in out
+        assert np.isfinite(out["mean_reward_per_step"])
