@@ -414,13 +414,12 @@ def train_vision(
     # program as constants -> recompile on every swap)
     def env_step(carry, action, key):
         env_state, w = carry
-        st, obs, reward, done, info = jax.vmap(
-            lambda s, a, wi: env.step(s, a, wi, bank))(env_state, action, w)
+        st, obs, reward, done, info = env.step_batched(
+            env_state, action, w, bank)
         return (st, w), obs, reward, info["crashed"]
 
     env_keys = jax.random.split(k_env, num_envs)
-    env_state, obs = jax.vmap(
-        lambda k, w: env.reset(k, w, bank))(env_keys, worlds)
+    env_state, obs = env.reset_batched(env_keys, worlds, bank)
     params = net.init(k_net, obs["pixels"][:1],
                       jnp.concatenate([obs["rates"][:1], obs["accel_z"][:1],
                                        obs["thrust"][:1]], axis=-1))

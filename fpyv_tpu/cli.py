@@ -246,7 +246,8 @@ def main(argv=None):
     tp.add_argument("--randomize", action="store_true")
     tp.add_argument("--vision", action="store_true",
                     help="pixels-to-action PPO on the vision env")
-    tp.add_argument("--renderer", choices=["raycast", "splat"],
+    tp.add_argument("--renderer",
+                    choices=["raycast", "raycast_pallas", "splat"],
                     default="raycast",
                     help="vision obs renderer: analytic raycast (fast, "
                          "full-world default) or reference-parity splat")

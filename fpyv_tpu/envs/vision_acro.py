@@ -56,6 +56,10 @@ class VisionAcroEnv:
     # "splat": reference-parity point z-buffer (vision/renderer.py).
     # "raycast": analytic ray-primitive depths (vision/raycast.py) — solid
     # silhouettes, zero scatter, much faster on TPU; same camera geometry.
+    # "raycast_pallas": the same raycast math as ONE pallas kernel
+    # (ops/pallas_vision.pallas_render_depth) — per-env scalars ride the
+    # sublane axis, the frame stays VMEM-resident; level-exact vs "raycast"
+    # (tests/test_pallas_vision.py). Falls back to interpret mode off-TPU.
     # Known corner-case divergences between the two (deliberate): with
     # target_only=True and a zero-target world the splat path keeps the full
     # bank (make_world's `if spec.targets` guard) while raycast emits blank
@@ -67,9 +71,10 @@ class VisionAcroEnv:
     ground_extent: Optional[float] = None
 
     def __post_init__(self):
-        if self.renderer not in ("splat", "raycast"):
+        if self.renderer not in ("splat", "raycast", "raycast_pallas"):
             raise ValueError(
-                f"renderer must be 'splat' or 'raycast', got {self.renderer!r}")
+                "renderer must be 'splat', 'raycast' or 'raycast_pallas', "
+                f"got {self.renderer!r}")
 
     @property
     def params(self) -> DroneParams:
@@ -116,15 +121,23 @@ class VisionAcroEnv:
 
         R = _att_to_rotmat(self.params, state.drone.att)
         cam_pos, cam_R = camera_pose(self.rig, state.drone.pos, R)
-        if self.renderer == "raycast":
-            from fpyv_tpu.vision.raycast import render_depth_raycast
-
+        if self.renderer in ("raycast", "raycast_pallas"):
             include = ("spheres", "cylinders", "ground", "gates")
             if self.target_only:  # chased target (sphere 0) only
                 include = ("spheres",)
                 mask = jnp.zeros_like(world.sphere_active).at[..., 0].set(True)
                 world = world.replace(
                     sphere_active=world.sphere_active & mask)
+            if self.renderer == "raycast_pallas":
+                from fpyv_tpu.ops.pallas_vision import pallas_render_depth
+
+                return pallas_render_depth(
+                    self.rig, cam_pos, cam_R, world,
+                    max_depth=self.max_depth, include=include,
+                    ground_extent=self.ground_extent,
+                    interpret=jax.default_backend() != "tpu")
+            from fpyv_tpu.vision.raycast import render_depth_raycast
+
             return render_depth_raycast(self.rig, cam_pos, cam_R, world,
                                         max_depth=self.max_depth,
                                         include=include,
@@ -134,24 +147,23 @@ class VisionAcroEnv:
 
     def _obs(self, state: AcroState, world: World, bank: RenderBank):
         img = self._render(state, world, bank)
+        # splat/raycast emit uint8 images; the pallas renderer emits the
+        # same levels already as floats in [0, 1]
+        if jnp.issubdtype(img.dtype, jnp.floating):
+            pixels = img.astype(self.acro.dtype)
+        else:
+            pixels = img.astype(self.acro.dtype) / 255.0
         return {
-            "pixels": img.astype(self.acro.dtype) / 255.0,
+            "pixels": pixels,
             "rates": state.drone.rates / self.params.max_rates,
             "accel_z": state.drone.accel[..., 2:3] / 30.0,
             "thrust": state.drone.thrust[..., None]
             / self.params.thrust_curve.max_force,
         }
 
-    def reset(self, key, world: World, bank: RenderBank):
-        state, _ = self.acro.reset(key, world)
-        return state, self._obs(state, world, bank)
-
-    def step(self, state: AcroState, action, world: World, bank: RenderBank,
-             wind=None):
-        state, _, reward, done, info = self.acro.step(state, action, world, wind)
-        obs = self._obs(state, world, bank)
-        # target pixel info (the reference's chase loop extracts the centroid
-        # of the TARGET-ONLY depth image, simulator.py:103-107)
+    def _target_info(self, state: AcroState, world: World, obs, info):
+        """target pixel info (the reference's chase loop extracts the
+        centroid of the TARGET-ONLY depth image, simulator.py:103-107)."""
         if self.target_only:
             centroid, found = target_pixel_centroid(
                 (obs["pixels"] * 255.0).astype(jnp.uint8))
@@ -166,5 +178,45 @@ class VisionAcroEnv:
             cam_pos, cam_R = camera_pose(self.rig, state.drone.pos, R)
             centroid, found = project_point_pixel(
                 self.rig, cam_pos, cam_R, world.sphere_center[..., 0, :])
-        info = dict(info, target_pixel=centroid, target_visible=found)
+        return dict(info, target_pixel=centroid, target_visible=found)
+
+    def reset(self, key, world: World, bank: RenderBank):
+        state, _ = self.acro.reset(key, world)
+        return state, self._obs(state, world, bank)
+
+    def step(self, state: AcroState, action, world: World, bank: RenderBank,
+             wind=None):
+        state, _, reward, done, info = self.acro.step(state, action, world, wind)
+        obs = self._obs(state, world, bank)
+        info = self._target_info(state, world, obs, info)
+        return state, obs, reward, done, info
+
+    # -- batched entry points: vmap only the per-env acro step and render
+    # the whole bank in ONE call.  Identical results to vmapping step()
+    # (the renderers are elementwise over envs) but required for the
+    # "raycast_pallas" renderer, whose kernel wants the full env batch, and
+    # cheaper to trace for the others.
+
+    def _world_batched(self, world: World) -> bool:
+        return world.sphere_center.ndim == 3
+
+    def reset_batched(self, keys, world: World, bank: RenderBank):
+        """keys: (N,) key array; world: shared or per-env batched."""
+        if self._world_batched(world):
+            state, _ = jax.vmap(self.acro.reset)(keys, world)
+        else:
+            state, _ = jax.vmap(lambda k: self.acro.reset(k, world))(keys)
+        return state, self._obs(state, world, bank)
+
+    def step_batched(self, state: AcroState, action, world: World,
+                     bank: RenderBank, wind=None):
+        if self._world_batched(world):
+            state, _, reward, done, info = jax.vmap(
+                lambda s, a, w: self.acro.step(s, a, w, wind))(
+                    state, action, world)
+        else:
+            state, _, reward, done, info = jax.vmap(
+                lambda s, a: self.acro.step(s, a, world, wind))(state, action)
+        obs = self._obs(state, world, bank)
+        info = self._target_info(state, world, obs, info)
         return state, obs, reward, done, info

@@ -138,8 +138,24 @@ def _env_cfg_scalars(env: AcroEnv):
 
 
 def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat,
-                   cyl_mat=None):
-    """The full K-step env loop over (ENV_ROWS*8, N/8) state. Pure jnp."""
+                   cyl_mat=None, action_fn=None, extra_metrics=False,
+                   n_pilot_rows=0, lane_col0=None, n_lane_total=None):
+    """The full K-step env loop over (ENV_ROWS*8, N/8) state. Pure jnp.
+
+    ``action`` is a fixed (4*8, N/8) action matrix applied every step; pass
+    ``action_fn(i, st, sph_c=..., sphere_r=...) -> (act, override, pilot)``
+    instead to compute per-iteration actions from the live state (the
+    in-kernel FPV guidance pilot in ops/pallas_vision): ``act`` is the
+    (4*8, N/8) action matrix, ``override`` is None or the (qw,qx,qy,qz,|F|)
+    attitude/thrust override for _step_math, and ``pilot`` is None or the
+    updated (n_pilot_rows*8, N/8) pilot-memory rows (PID state etc.) that
+    ride after the ENV_ROWS block in the state matrix — zeroed whenever the
+    env resets (the fresh-PID analog of components.py:35-41's reset).
+
+    With ``extra_metrics=True`` the carry also accumulates per-env crash
+    and target-contact counts (contact = crash within the chased sphere's
+    collision shell) and the return is (state, rsum, crashes, contacts).
+    """
     (pos_low, pos_high, vel_scale, ypr_range, max_steps,
      w_progress, w_alive, w_crash, w_rates,
      randomize, mass_range, drag_range, thrust_range,
@@ -147,10 +163,18 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat,
     use_wind = any(w != 0.0 for w in wind_base) or wind_scale > 0.0
 
     n_lane = state0.shape[1]
-    # per-env lane id: distinct uint32 per (sublane, lane) element
+    # per-env lane id: distinct uint32 per (sublane, lane) element.  When
+    # the caller runs this loop per GRID BLOCK of the full env bank (the
+    # chase kernel: one program per 8-env column), n_lane_total is the full
+    # bank's lane count and lane_col0 the block's first global lane, so the
+    # streams stay globally unique and layout-independent.
+    total = n_lane if n_lane_total is None else n_lane_total
+    col = jax.lax.broadcasted_iota(jnp.uint32, (SUBLANES, n_lane), 1)
+    if lane_col0 is not None:
+        col = col + lane_col0.astype(jnp.uint32)
     lane_id = (
-        jax.lax.broadcasted_iota(jnp.uint32, (SUBLANES, n_lane), 0) * jnp.uint32(n_lane)
-        + jax.lax.broadcasted_iota(jnp.uint32, (SUBLANES, n_lane), 1)
+        jax.lax.broadcasted_iota(jnp.uint32, (SUBLANES, n_lane), 0)
+        * jnp.uint32(total) + col
     )
     lane_id = _murmur3_fmix(lane_id ^ _murmur3_fmix(seed.astype(jnp.uint32)))
 
@@ -178,15 +202,20 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat,
         return mat[SUBLANES * i:SUBLANES * (i + 1)]
 
     def body(i, carry):
-        st, rsum = carry
+        st, rsum = carry[0], carry[1]
         sph_c = sphere_centers(i)
+        if action_fn is None:
+            act, override, pilot = action, None, None
+        else:
+            act, override, pilot = action_fn(i, st, sph_c=sph_c,
+                                             sphere_r=world_mat[3:4, :])
         # DomainRand/wind rows feed the physics only when the env uses them —
         # the nominal path stays free of the extra multiplies
         dr = ((row(st, 18), row(st, 19), row(st, 20)) if randomize else None)
         wnd = ((row(st, 21), row(st, 22), row(st, 23)) if use_wind else None)
         phys = _step_math(params, sph_c, sphere_r, sphere_active,
-                          st[: STATE_ROWS * SUBLANES], action,
-                          cyl=cyl_mat, dr=dr, wind=wnd)
+                          st[: STATE_ROWS * SUBLANES], act,
+                          cyl=cyl_mat, dr=dr, wind=wnd, override=override)
 
         px, py, pz = row(phys, 0), row(phys, 1), row(phys, 2)
         crashed = row(phys, 14)
@@ -195,8 +224,8 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat,
         dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
 
         prev_dist = row(st, 16)
-        a0, a1, a2 = (action[:SUBLANES], action[SUBLANES:2 * SUBLANES],
-                      action[2 * SUBLANES:3 * SUBLANES])
+        a0, a1, a2 = (act[:SUBLANES], act[SUBLANES:2 * SUBLANES],
+                      act[2 * SUBLANES:3 * SUBLANES])
         rates_pen = a0 * a0 + a1 * a1 + a2 * a2
         reward = (w_progress * (prev_dist - dist) + w_alive
                   - w_crash * crashed - w_rates * rates_pen)
@@ -264,7 +293,7 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat,
             t, dist, row(st, 17) + reward,
             row(st, 18), row(st, 19), row(st, 20),  # DomainRand persists
             row(st, 21), row(st, 22), row(st, 23),  # wind persists
-        ], axis=0)
+        ] + ([pilot] if n_pilot_rows else []), axis=0)
         reset = jnp.concatenate([
             rpx, rpy, rpz, rvx, rvy, rvz, rqw, rqx, rqy, rqz,
             zeros, zeros, zeros,            # rates
@@ -275,13 +304,22 @@ def _env_loop_math(params, cfg, n_steps, seed, state0, action, world_mat,
             zeros,                          # episode_return
             rms, rds, rts,
             rwx, rwy, rwz,
-        ], axis=0)
-        sel = jnp.tile(done > 0.5, (ENV_ROWS, 1))
+        ] + ([jnp.zeros((n_pilot_rows * SUBLANES, n_lane), jnp.float32)]
+             if n_pilot_rows else []), axis=0)
+        sel = jnp.tile(done > 0.5, (ENV_ROWS + n_pilot_rows, 1))
         nxt = jnp.where(sel, reset, live)
-        return nxt, rsum + reward
+        if not extra_metrics:
+            return nxt, rsum + reward
+        # contact = crash inside the chased sphere's collision shell
+        # (motor arm 0.127 m + motor radius; 0.3 m margin covers both)
+        shell = world_mat[3:4, 0:1] + jnp.float32(0.3)
+        contact = crashed * (dist <= shell).astype(jnp.float32)
+        return (nxt, rsum + reward, carry[2] + crashed, carry[3] + contact)
 
     rsum0 = jnp.zeros((SUBLANES, n_lane), jnp.float32)
-    return jax.lax.fori_loop(0, n_steps, body, (state0, rsum0))
+    init = ((state0, rsum0) if not extra_metrics
+            else (state0, rsum0, rsum0, rsum0))
+    return jax.lax.fori_loop(0, n_steps, body, init)
 
 
 def _env_kernel(params, cfg, n_steps, use_cyl, seed_ref, state_ref,

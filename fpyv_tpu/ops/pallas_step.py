@@ -86,7 +86,7 @@ def matrix_to_state(mat: jnp.ndarray, template: DroneState) -> DroneState:
 
 
 def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
-               state, action, cyl=None, dr=None, wind=None):
+               state, action, cyl=None, dr=None, wind=None, override=None):
     """One physics step over row-vectors of shape (N,). Pure jnp — runs
     identically inside the pallas kernel and in interpret mode.
 
@@ -100,6 +100,13 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
       per-env DomainRand multipliers exactly as drone_step applies them.
     - ``wind``: (wx, wy, wz) (8, N/8) tiles — world-frame wind velocity
       entering the drag term (kinematics.py:33-38's velocity+wind).
+    - ``override``: guidance attitude/thrust override (components.py:230-232
+      via drone_step's att/thrust_override path): a (qw, qx, qy, qz, |F|)
+      tuple of (8, N/8) tiles.  The attitude quat is REPLACED before any
+      use (forces, motors, and the rates advance all see the override,
+      exactly as drone_step's quat mode does), |F| is the applied thrust,
+      and the low-passed rates/thrust memories still update from ``action``
+      (components.py:229 runs action2force unconditionally).
     """
     dt = params.dt
 
@@ -136,6 +143,13 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
         # scaled value both applies now and feeds the next step's low-pass
         thrust = thrust * dr[2]
 
+    # --- guidance override: replace the quat + applied |F| (drone_step's
+    #     att_override/thrust_override path; memories above still updated)
+    if override is not None:
+        qw, qx, qy, qz, applied_thrust = override
+    else:
+        applied_thrust = thrust
+
     # --- rotation matrix columns from quaternion
     R00 = 1 - 2 * (qy * qy + qz * qz)
     R01 = 2 * (qx * qy - qz * qw)
@@ -147,7 +161,7 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
     R21 = 2 * (qy * qz + qx * qw)
     R22 = 1 - 2 * (qx * qx + qy * qy)
 
-    tx, ty, tz = R02 * thrust, R12 * thrust, R22 * thrust
+    tx, ty, tz = R02 * applied_thrust, R12 * applied_thrust, R22 * applied_thrust
 
     # --- drag (kinematics.py:33-38) on velocity + wind
     if wind is None:
