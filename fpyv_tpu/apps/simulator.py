@@ -52,6 +52,12 @@ def run_simulator(
     max_depth: float = 25.0,
     frame_sink=None,  # callable(np.uint8 frame) for testing/recording
     chunk: Optional[int] = None,  # steps per device call; None = auto
+    virtual_target: bool = False,  # mouse-drag target (simulator.py:15-31):
+    #   the guidance pixel is the user-dragged VirtualTarget instead of the
+    #   rendered centroid; with a cv2 window the mouse drives it, headless a
+    #   scripted stream can via target_events
+    target_events=None,  # callable(t) -> iterable of (event, x, y) tuples
+    #   fed to the VirtualTarget at step t (the headless scripted-pixel path)
 ) -> dict:
     cfg = cfg or FpyvConfig()
     params = DroneParams.from_config(cfg)
@@ -108,6 +114,21 @@ def run_simulator(
             state, _ = drone_step(params, state, action, world, wind)
         return state, gs, world
 
+    def sim_step_virtual(state, gs, world, action, pixel):
+        """One step steered at a user-supplied pixel: the reference's
+        mouse-target path (target_pixels = [ix, iy], simulator.py:131)
+        replaces the rendered centroid; guidance runs unconditionally."""
+        world = update_targets(world)
+        R = _att_to_rotmat(params, state.att)
+        cam_pos, cam_R = camera_pose(rig, state.pos, R)
+        dist = (jnp.linalg.norm(world.sphere_center[target_idx] - state.pos)
+                - world.sphere_radius[target_idx])
+        gs, R_des, f_des = needed_force_orientation(
+            g, gs, rig, cam_R, pixel, state.pos, state.vel, dist, params.mass)
+        state, _ = drone_step(params, state, action, world, wind,
+                              att_override=R_des, thrust_override=f_des)
+        return state, gs, world
+
     def render_frame_fn(state, world):
         R = _att_to_rotmat(params, state.att)
         cam_pos, cam_R = camera_pose(rig, state.pos, R)
@@ -131,6 +152,13 @@ def run_simulator(
         return jax.lax.scan(body, (state, gs, world), None, length=n)
 
     jit_step = jax.jit(sim_step)
+    jit_step_virtual = jax.jit(sim_step_virtual)
+
+    vt = None
+    if virtual_target:
+        from fpyv_tpu.inputs.mouse import VirtualTarget
+
+        vt = VirtualTarget(rig.resolution)
 
     cv2 = None
     if render == "2d":
@@ -144,6 +172,8 @@ def run_simulator(
 
                 _cv2.namedWindow("img")
                 cv2 = _cv2
+                if vt is not None:  # the reference's setMouseCallback wiring
+                    _cv2.setMouseCallback("img", vt.cv2_callback)
             except Exception:
                 cv2 = None
     ax = fig = None
@@ -174,11 +204,21 @@ def run_simulator(
     final_pos = np.asarray(state.pos)
     final_vel = np.asarray(state.vel)
 
-    if joystick is not None:
-        # interactive: per-step host loop (stick reads can't be scanned)
+    if joystick is not None or vt is not None:
+        # interactive: per-step host loop (stick reads and mouse state
+        # can't be scanned)
         for t in range(steps):
-            action = jnp.asarray(joystick.read_action(), jnp.float32)
-            state, gs, world = jit_step(state, gs, world, action)
+            action = (jnp.asarray(joystick.read_action(), jnp.float32)
+                      if joystick is not None else default_action)
+            if vt is not None:
+                if target_events is not None:
+                    for ev in (target_events(t) or ()):
+                        vt.on_event(*ev)
+                pixel = jnp.asarray(vt.pixel(), jnp.float32)
+                state, gs, world = jit_step_virtual(state, gs, world, action,
+                                                    pixel)
+            else:
+                state, gs, world = jit_step(state, gs, world, action)
             done_steps = t + 1
             if bool(state.done):
                 crashed = True

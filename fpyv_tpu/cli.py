@@ -47,15 +47,16 @@ def _cmd_sim(args):
 
 def _cmd_train(args):
     from fpyv_tpu.apps.train import (train_acro, train_es, train_race,
-                                     train_vision)
+                                     train_sac, train_vision)
 
     num_envs = args.num_envs or (
         256 if args.algo == "es"
-        else 1024 if (args.vision or args.env == "race") else 4096)
+        else 1024 if (args.vision or args.env == "race" or args.algo == "sac")
+        else 4096)
     if args.env == "race":
-        if args.algo == "es" or args.vision:
+        if args.algo != "ppo" or args.vision:
             raise SystemExit("--env race runs shared-policy PPO "
-                             "(no --vision / --algo es)")
+                             "(no --vision / --algo es|sac)")
         res = train_race(
             num_envs=num_envs, n_agents=args.agents,
             num_iterations=args.iterations, num_steps=args.num_steps,
@@ -71,6 +72,16 @@ def _cmd_train(args):
             distributed=args.distributed, randomize=args.randomize,
             noise_std=args.noise_std, sigma_decay=args.sigma_decay,
             learning_rate=args.es_lr, log_dir=args.log_dir,
+        )
+    elif args.algo == "sac":
+        if args.vision:
+            raise SystemExit("--algo sac runs on state observations "
+                             "(no --vision)")
+        res = train_sac(
+            num_envs=num_envs, num_iterations=args.iterations,
+            warmup_steps=args.warmup_steps,
+            updates_per_step=args.updates_per_step, seed=args.seed,
+            randomize=args.randomize, log_dir=args.log_dir,
         )
     elif args.vision:
         res = train_vision(
@@ -216,9 +227,14 @@ def main(argv=None):
     sp.set_defaults(fn=_cmd_sim)
 
     tp = sub.add_parser("train", help="policy training on the acro env")
-    tp.add_argument("--algo", choices=["ppo", "es"], default="ppo",
-                    help="learner: PPO (gradient) or NES evolutionary "
-                         "search (gradient-free, population-parallel)")
+    tp.add_argument("--algo", choices=["ppo", "es", "sac"], default="ppo",
+                    help="learner: PPO (on-policy gradient), NES evolutionary "
+                         "search (gradient-free, population-parallel), or "
+                         "SAC (off-policy, on-device replay)")
+    tp.add_argument("--warmup-steps", type=int, default=50,
+                    help="(sac) uniform-random exploration env steps")
+    tp.add_argument("--updates-per-step", type=int, default=1,
+                    help="(sac) gradient updates per synchronized env step")
     tp.add_argument("--env", choices=["acro", "rotate", "race"],
                     default="acro",
                     help="task: acro chase (default), attitude rotate (es), "

@@ -69,6 +69,11 @@ class VisionAcroEnv:
     # Half-extent (m) clipping the raycast ground plane to |x|,|y| <= extent,
     # matching the splat ground cloud's finite size; None = infinite plane.
     ground_extent: Optional[float] = None
+    # Gate-frame band half-width (m) for the raycast renderers — how thick
+    # the rendered gate outline (the reference's corner polylines,
+    # components.py:790-805) appears on the gate plane. Threaded to both
+    # the XLA and pallas raycast paths.
+    frame_width: float = 0.08
 
     def __post_init__(self):
         if self.renderer not in ("splat", "raycast", "raycast_pallas"):
@@ -135,13 +140,15 @@ class VisionAcroEnv:
                     self.rig, cam_pos, cam_R, world,
                     max_depth=self.max_depth, include=include,
                     ground_extent=self.ground_extent,
+                    frame_width=self.frame_width,
                     interpret=jax.default_backend() != "tpu")
             from fpyv_tpu.vision.raycast import render_depth_raycast
 
             return render_depth_raycast(self.rig, cam_pos, cam_R, world,
                                         max_depth=self.max_depth,
                                         include=include,
-                                        ground_extent=self.ground_extent)
+                                        ground_extent=self.ground_extent,
+                                        frame_width=self.frame_width)
         return render_depth_image(self.rig, cam_pos, cam_R, bank, world=world,
                                   max_depth=self.max_depth)
 

@@ -94,6 +94,7 @@ class Joystick:
         self.sticks: Dict = {}
         self.switches: Dict = {}
         self.calib_reading = np.zeros(self.N_CHANNELS)
+        self.last_raw = np.zeros(self.N_CHANNELS)
 
     @property
     def status(self) -> bool:
@@ -109,11 +110,13 @@ class Joystick:
         (config/frsky.json style) remain meaningful.
         """
         if self.device is None:
+            self.last_raw = np.zeros(self.N_CHANNELS)
             return np.zeros((1, self.N_CHANNELS))
         axes, _ = self.device.read()
         vals = np.zeros(self.N_CHANNELS)
         n = min(self.N_CHANNELS, len(axes))
         vals[:n] = axes[:n].astype(np.float64) + 32767.0
+        self.last_raw = vals
         return vals[None, :]
 
     def norm_read(self) -> np.ndarray:
@@ -147,6 +150,80 @@ class Joystick:
         pitch = ch("Pitch", r[2])
         yaw = ch("Yaw", r[5] if len(r) > 5 else 0.0)
         return np.array([-roll, pitch, yaw, throttle])
+
+    # ---- live calibration views (get_sticks.py:62-99) ---------------------
+
+    AXIS_NAMES = ("X", "Y", "Z", "R", "U", "V")  # winmm's axis order
+
+    def make_fig_bars(self, ax=None):
+        """Bar chart of the 6 raw axis values (get_sticks.py:62-72's
+        make_fig_bars, minus the winmm button strip — the Linux adapter
+        exposes buttons separately). Draws onto ``ax`` (default: current
+        axes), so it works headless under the Agg backend for testing."""
+        import matplotlib.pyplot as plt
+
+        ax = ax if ax is not None else plt.gca()
+        ax.bar(list(self.AXIS_NAMES), list(self.last_raw))
+        ax.set_ylim(0, 65535)  # :72
+        return ax
+
+    def make_fig_axes(self, axs=None):
+        """2D stick-position plots (yaw/throttle, roll/pitch) + switch bars
+        from the last calibrated reading (get_sticks.py:74-93)."""
+        import matplotlib.pyplot as plt
+
+        if axs is None:
+            fig = plt.gcf()
+            fig.clf()
+            axs = fig.subplots(1, 3)
+        alpha = 0.2
+        for ax, (kx, ky) in zip(axs[:2], (("Yaw", "Throttle"),
+                                          ("Roll", "Pitch"))):
+            ax.plot([-1, 1], [0, 0], "b", lw=3, alpha=alpha)  # :77-78
+            ax.plot([0, 0], [-1, 1], "b", lw=3, alpha=alpha)
+            if kx in self.sticks and ky in self.sticks:
+                ax.scatter(self.calib_reading[self.sticks[kx]["idx"]],
+                           self.calib_reading[self.sticks[ky]["idx"]])
+            ax.set_xlim(-1, 1)
+            ax.set_ylim(-1, 1)
+            ax.set_aspect("equal")  # :80 axis('square')
+        names = [k for k in self.switches if "idx" in self.switches[k]]
+        axs[2].bar(names,
+                   [self.calib_reading[self.switches[k]["idx"]]
+                    for k in names])
+        axs[2].set_ylim(-1, 1)  # :93
+        return axs
+
+    @staticmethod
+    def _has_display() -> bool:
+        return bool(os.environ.get("DISPLAY")
+                    or os.environ.get("WAYLAND_DISPLAY"))
+
+    def _render_live(self, make_fig) -> None:
+        """drawnow-equivalent: clear, draw, flush — display-gated (no-op
+        headless; this hardware has no display server)."""
+        if not self._has_display():
+            return
+        import matplotlib.pyplot as plt
+
+        plt.clf()
+        make_fig()
+        plt.pause(0.001)
+
+    def render_bars(self) -> None:
+        self._render_live(self.make_fig_bars)
+
+    def render_axes(self) -> None:
+        self._render_live(self.make_fig_axes)
+
+    def live_view(self, t_sec: float = 10.0, rps: int = 20,
+                  mode: str = "axes") -> None:
+        """Live read loop with rendering (get_sticks.py:268-283's main):
+        calibrated axes view or raw bars at ``rps`` Hz for ``t_sec``."""
+        for _ in range(int(t_sec * rps)):
+            self.calib_read()
+            (self.render_axes if mode == "axes" else self.render_bars)()
+            sleep(1.0 / rps)
 
     # ---- calibration persistence ------------------------------------------
 
@@ -189,10 +266,13 @@ class Joystick:
                 norm: bool = False) -> np.ndarray:
         if text:
             print(text)
+        live = self._has_display()  # live bars during wizard records
         reader = self.norm_read if norm else self.read
         readings = reader()
-        for _ in range(int(t_sec * rps)):
+        for i in range(int(t_sec * rps)):
             readings = np.vstack((readings, reader()))
+            if live and i % (rps // 10 or 1) == 0:
+                self.render_bars()
             sleep(1.0 / rps)
         return readings
 

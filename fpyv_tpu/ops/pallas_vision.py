@@ -243,17 +243,25 @@ def _render_tiles(cfg: _RenderCfg, dcam, cam, wcol, chase_only: bool = False):
             ly = eyx * hx + eyy * hy + eyz * hz
             lz = ezx * hx + ezy * hy + ezz * hz
             half = s * 0.5
-            on_rect = jnp.abs(jnp.maximum(jnp.abs(ly), jnp.abs(lz)) - half) <= fw
+            # frame membership as f32 masks: mosaic cannot lower a bool
+            # select whose (8,1) condition broadcasts over (8,HW) bool
+            # branches (i8->i1 vector truncation, real-chip compile error),
+            # so the shape dispatch is mask arithmetic instead of where()
+            m_rect = (jnp.abs(jnp.maximum(jnp.abs(ly), jnp.abs(lz)) - half)
+                      <= fw).astype(jnp.float32)
             rr = jnp.sqrt(ly * ly + lz * lz)
-            on_circ = jnp.abs(rr - half) <= fw
+            m_circ = (jnp.abs(rr - half) <= fw).astype(jnp.float32)
             cz = lz + half
             ra = jnp.sqrt(ly * ly + cz * cz)
-            on_arc = (jnp.abs(ra - s) <= fw) & (cz >= -fw)
-            on_chord = (jnp.abs(cz) <= fw) & (jnp.abs(ly) <= s + fw)
-            on_frame = jnp.where(code == 1, on_circ,
-                                 jnp.where(code == 2, on_arc | on_chord,
-                                           on_rect))
-            ok = (t > 0) & on_frame & (jnp.abs(ndotd) > 1e-20) & act
+            m_arc = ((jnp.abs(ra - s) <= fw) & (cz >= -fw)).astype(jnp.float32)
+            m_chord = ((jnp.abs(cz) <= fw)
+                       & (jnp.abs(ly) <= s + fw)).astype(jnp.float32)
+            m_half = jnp.maximum(m_arc, m_chord)
+            sel_circ = (code == 1).astype(jnp.float32)  # (8, 1) one-hots
+            sel_half = (code == 2).astype(jnp.float32)
+            m_frame = (sel_circ * m_circ + sel_half * m_half
+                       + (1.0 - sel_circ - sel_half) * m_rect)
+            ok = (t > 0) & (m_frame > 0.5) & (jnp.abs(ndotd) > 1e-20) & act
             t_min = jnp.minimum(t_min, jnp.where(ok, t, big))
 
     return t_min, (dwx, dwy, dwz)
@@ -311,6 +319,7 @@ def pallas_render_depth(
     max_depth: float = 10.0,
     include: Tuple[str, ...] = ("spheres", "cylinders", "ground", "gates"),
     ground_extent: Optional[float] = None,
+    frame_width: float = 0.08,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """f32 depth frames (N, H, W) in [0, 1], quantized to uint8 levels —
@@ -333,6 +342,7 @@ def pallas_render_depth(
         ground="ground" in include, gates="gates" in include,
         max_depth=float(max_depth),
         ground_extent=None if ground_extent is None else float(ground_extent),
+        frame_width=float(frame_width),
     )
     cam = jnp.zeros((n_pad, 16), jnp.float32)
     cam = cam.at[:n, 0:3].set(cam_pos)

@@ -211,6 +211,7 @@ def raycast_depth(
     world: World,
     include: Tuple[str, ...] = ("spheres", "cylinders", "ground", "gates"),
     ground_extent: Optional[float] = None,
+    frame_width: float = 0.08,
 ) -> jnp.ndarray:
     """Raw nearest-hit camera-z depth (..., H, W); _BIG where empty."""
     dtype = cam_pos.dtype
@@ -232,7 +233,7 @@ def raycast_depth(
         t = jnp.minimum(t, _ray_gates(
             cam_pos, d, world.gate_pos.astype(dtype),
             world.gate_rotmat.astype(dtype), world.gate_size.astype(dtype),
-            world.gate_active, world.gate_shape))
+            world.gate_active, world.gate_shape, frame_width=frame_width))
     return t
 
 
@@ -244,11 +245,12 @@ def render_depth_raycast(
     max_depth: float = 10.0,
     include: Tuple[str, ...] = ("spheres", "cylinders", "ground", "gates"),
     ground_extent: Optional[float] = None,
+    frame_width: float = 0.08,
 ) -> jnp.ndarray:
     """uint8 depth image(s) (..., H, W), same encoding as the splat
     renderer / reference (components.py:626-628): empty -> max_depth,
     ``255*(1 - z/max_depth)``."""
     t = raycast_depth(rig, cam_pos, cam_R, world, include,
-                      ground_extent=ground_extent)
+                      ground_extent=ground_extent, frame_width=frame_width)
     t = jnp.minimum(t, max_depth)
     return (255.0 * (1.0 - t / max_depth)).astype(jnp.uint8)

@@ -114,3 +114,120 @@ class TestCalibration:
 def test_map_from_to():
     assert map_from_to(5.0, 0.0, 10.0, -1.0, 1.0) == 0.0
     assert map_from_to(0.0, 0.0, 10.0, -1.0, 1.0) == -1.0
+
+
+class TestVirtualTarget:
+    """Mouse-drag virtual target (reference simulator.py:15-31)."""
+
+    def _oracle(self, events, res=(640, 480), rate=0.1):
+        """Literal replica of the reference get_target callback math."""
+        half = (res[0] / 2, res[1] / 2)
+        ix, iy = half
+        prev_ix, prev_iy = half
+        flag = False
+        out = []
+        for ev, x, y in events:
+            if ev == "down":
+                flag = True
+            elif ev == "up":
+                flag = False
+            if flag:
+                ix = rate * x + (1 - rate) * prev_ix
+                iy = rate * y + (1 - rate) * prev_iy
+            else:
+                ix = (1 - rate) * half[0] + rate * prev_ix
+                iy = (1 - rate) * half[1] + rate * prev_iy
+            prev_ix, prev_iy = ix, iy
+            out.append((ix, iy))
+        return out
+
+    def test_drag_and_recenter_match_reference_math(self):
+        from fpyv_tpu.inputs.mouse import VirtualTarget
+
+        events = ([("down", 100, 50)] + [("move", 100, 50)] * 20
+                  + [("up", 100, 50)] + [("move", 400, 400)] * 10)
+        vt = VirtualTarget((640, 480))
+        got = []
+        for ev in events:
+            vt.on_event(*ev)
+            got.append(vt.pixel())
+        np.testing.assert_allclose(got, self._oracle(events), atol=1e-12)
+        # dragging eased toward (100, 50)...
+        mid = got[20]
+        assert mid[0] < 320 and mid[1] < 240
+        # ...and releasing snapped back toward center fast (0.9/event)
+        end = got[-1]
+        assert abs(end[0] - 320) < 1.0 and abs(end[1] - 240) < 1.0
+
+    def test_simulator_scripted_pixel_stream(self):
+        """Headless: a scripted drag steers the guided sim — the flown
+        trajectory must differ from the centroid-guided baseline."""
+        from fpyv_tpu.apps.simulator import run_simulator
+
+        def drag_up_left(t):
+            if t == 0:
+                return [("down", 0, 0)]
+            return [("move", 0, 0)]  # hold toward top-left pixel
+
+        out_vt = run_simulator(steps=12, render="none", guided=True, seed=0,
+                               virtual_target=True,
+                               target_events=drag_up_left)
+        out_base = run_simulator(steps=12, render="none", guided=True, seed=0)
+        assert out_vt["steps"] == 12
+        dp = np.linalg.norm(np.asarray(out_vt["final_position"])
+                            - np.asarray(out_base["final_position"]))
+        assert dp > 1e-3, dp
+
+
+class TestCalibrationViews:
+    """Live wizard figures (get_sticks.py:62-99), headless via Agg."""
+
+    def _js(self, tmp_path):
+        path = tmp_path / "calib.json"
+        path.write_text(json.dumps(FRSKY_STYLE_CALIB))
+        js = Joystick()
+        js.load_calibration(path)
+        return js
+
+    def test_make_fig_bars(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+
+        js = self._js(tmp_path)
+        js.last_raw = np.asarray([1000, 2000, 3000, 4000, 5000, 60000.0])
+        fig, ax = plt.subplots()
+        out = js.make_fig_bars(ax=ax)
+        heights = [p.get_height() for p in out.patches]
+        np.testing.assert_allclose(heights, js.last_raw)
+        assert out.get_ylim() == (0.0, 65535.0)
+        plt.close(fig)
+
+    def test_make_fig_axes_scatter_positions(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+
+        js = self._js(tmp_path)
+        js.calib_reading = np.asarray([0.5, -0.25, 0.75, 1.0, -1.0, 0.1])
+        fig = plt.figure()
+        axs = fig.subplots(1, 3)
+        js.make_fig_axes(axs=axs)
+        # first panel scatters (yaw, throttle) from the calibrated reading
+        yaw = js.calib_reading[js.sticks["Yaw"]["idx"]]
+        thr = js.calib_reading[js.sticks["Throttle"]["idx"]]
+        offs = axs[0].collections[0].get_offsets()
+        np.testing.assert_allclose(np.asarray(offs)[0], [yaw, thr])
+        # third panel bars the switches
+        assert len(axs[2].patches) == len(js.switches)
+        plt.close(fig)
+
+    def test_render_gated_headless(self, tmp_path, monkeypatch):
+        """No display -> render_bars/axes are no-ops (no GUI calls)."""
+        monkeypatch.delenv("DISPLAY", raising=False)
+        monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+        js = self._js(tmp_path)
+        js.render_bars()
+        js.render_axes()  # must not raise

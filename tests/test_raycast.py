@@ -430,3 +430,75 @@ class TestFullWorldParity:
         grown = binary_dilation(lit_r, iterations=2)
         frac = (lit_s & grown).sum() / lit_s.sum()
         assert frac > 0.9, frac
+
+
+class TestFrameWidth:
+    """frame_width is a real parameter (VERDICT r2 weak #7): it must thread
+    from VisionAcroEnv through both raycast renderers and change the band."""
+
+    def _gate_world(self):
+        w = empty_world(n_gates=1, ground=False)
+        return w.replace(
+            gate_pos=jnp.asarray([[5.0, 0.0, 0.0]], jnp.float64),
+            gate_size=jnp.asarray([2.0], jnp.float64),
+            gate_active=jnp.asarray([True]),
+        )
+
+    # camera looking along world +x (gate normal)
+    R_FWD = jnp.asarray([[0.0, 0.0, 1.0],
+                         [1.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0]])
+
+    def test_wider_band_lights_more_pixels(self):
+        w = self._gate_world()
+        lit = {}
+        for fw in (0.08, 0.4):
+            t = raycast_depth(RIG, jnp.zeros(3), self.R_FWD, w,
+                              include=("gates",), frame_width=fw)
+            lit[fw] = int((np.asarray(t) < _BIG).sum())
+        assert lit[0.4] > 2 * lit[0.08] > 0
+
+    def test_pallas_matches_xla_at_nondefault_width(self):
+        from fpyv_tpu.ops.pallas_vision import pallas_render_depth
+
+        w = self._gate_world()
+        rig = CameraRig(pitch_deg=0.0, rel_position=(0.0, 0.0, 0.0),
+                        fov_deg=90.0, resolution=(64, 48))
+        fw = 0.35
+        img_x = render_depth_raycast(
+            rig, jnp.zeros(3), self.R_FWD.astype(jnp.float32),
+            w, max_depth=10.0, include=("gates",), frame_width=fw)
+        img_p = pallas_render_depth(
+            rig, jnp.zeros(3, jnp.float32), self.R_FWD.astype(jnp.float32),
+            w, max_depth=10.0, include=("gates",), frame_width=fw,
+            interpret=True)
+        lev_p = np.round(np.asarray(img_p) * 255.0)
+        np.testing.assert_array_equal(lev_p, np.asarray(img_x, np.float64))
+        assert (np.asarray(img_x) > 0).sum() > 0
+
+    def test_vision_env_threads_frame_width(self):
+        from fpyv_tpu.envs.vision_acro import VisionAcroEnv
+
+        w = self._gate_world().replace(has_ground=jnp.asarray(False))
+        for renderer in ("raycast",):
+            lit = {}
+            for fw in (0.08, 0.5):
+                env = VisionAcroEnv(renderer=renderer, target_only=False,
+                                    frame_width=fw)
+                # place the drone so the camera sees the gate: level attitude,
+                # gate 5m ahead along +x (the rig pitches the camera down 35
+                # deg, still plenty of gate in frame at size 2)
+                key = jax.random.key(0)
+                from fpyv_tpu.world.render_bank import build_dynamic_render_bank
+
+                bank = build_dynamic_render_bank(n_spheres=0, n_cylinders=0,
+                                                 ground=None)
+                state, obs = env.reset(key, w, bank)
+                state = state.replace(drone=state.drone.replace(
+                    pos=jnp.zeros(3, state.drone.pos.dtype),
+                    att=state.drone.att * 0 + jnp.asarray(
+                        [1.0, 0, 0, 0], state.drone.att.dtype)
+                    if state.drone.att.shape[-1] == 4 else state.drone.att))
+                obs = env._obs(state, w, bank)
+                lit[fw] = int((np.asarray(obs["pixels"]) > 0).sum())
+            assert lit[0.5] > lit[0.08] > 0
