@@ -65,6 +65,37 @@ def measure(env, world):
     return N_ENVS * KERNEL_STEPS / min(times)
 
 
+def measure_vision(n_envs: int = 1024, k1: int = 512, k2: int = 2048):
+    """FPV chase megaloop (ops/pallas_vision.pallas_vision_env_rollout):
+    in-kernel render -> centroid -> guidance -> physics, K steps/launch.
+    Slope-timed (K-sweep cancels the tunnel's per-call dispatch)."""
+    from fpyv_tpu.envs.acro import AcroEnv
+    from fpyv_tpu.ops.pallas_vision import pallas_vision_env_rollout
+    from fpyv_tpu.physics.drone import DroneParams
+
+    env = AcroEnv(params=DroneParams(att_mode="quat"))
+    world = env.default_world()
+    keys = jax.random.split(jax.random.key(0), n_envs)
+    state0, _ = jax.vmap(lambda k: env.reset(k, world))(keys)
+
+    def run(K):
+        _, _, rsum, _, _ = pallas_vision_env_rollout(env, state0, world, K,
+                                                     seed=0)
+        assert np.isfinite(float(np.asarray(rsum).sum()))
+
+    def timed(K):
+        run(K)  # compile + warm
+        ts = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            run(K)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1, t2 = timed(k1), timed(k2)
+    return n_envs * (k2 - k1) / (t2 - t1)
+
+
 def main():
     from fpyv_tpu.config import FpyvConfig
     from fpyv_tpu.envs.acro import AcroEnv
@@ -83,6 +114,8 @@ def main():
     spec = WorldSpec.from_config(FpyvConfig().simulator, seed=2)
     ref_steps_per_s = measure(env_ref, build_world(spec, dtype=jnp.float32))
 
+    vision_steps_per_s = measure_vision()
+
     print(json.dumps({
         "metric": f"full acro-env steps/s/chip at {N_ENVS} envs",
         "value": round(steps_per_s),
@@ -91,6 +124,7 @@ def main():
         "reference_world_value": round(ref_steps_per_s),
         "reference_world_vs_baseline": round(
             ref_steps_per_s / BASELINE_STEPS_PER_S, 4),
+        "vision_chase_kernel_steps_per_s_1024": round(vision_steps_per_s),
     }))
 
 

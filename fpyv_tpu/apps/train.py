@@ -165,6 +165,10 @@ def train_race(
     learning_rate: float = 3e-4,
     print_every: int = 10,
     scan_chunk: int = 10,
+    gate_size: float = 5.0,  # gate curriculum lever: train big -> resume
+    #   small (checkpoints carry only net/opt/env state, so a resumed run
+    #   can shrink the gates the policy must thread)
+    max_episode_steps: int = 2000,  # laps-per-episode ceiling
 ) -> TrainResult:
     """Shared-policy PPO on the multi-agent race env (BASELINE config #5).
 
@@ -178,7 +182,8 @@ def train_race(
     from fpyv_tpu.envs.multi_race import (
         MultiRaceEnv, make_shared_policy_env_step)
 
-    env = MultiRaceEnv(n_agents=n_agents)
+    env = MultiRaceEnv(n_agents=n_agents, gate_size=gate_size,
+                       max_episode_steps=max_episode_steps)
     world = env.default_world()
     env_step, reset_fn = make_shared_policy_env_step(env, world, n_envs=num_envs)
     net = ActorCritic(action_dim=4, hidden=tuple(hidden))
@@ -431,6 +436,7 @@ def train_vision(
     num_iterations: int = 100,
     num_steps: int = 32,
     seed: int = 0,
+    distributed: bool = False,
     log_dir: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 50,
@@ -441,9 +447,13 @@ def train_vision(
     print_every: int = 10,
     scan_chunk: int = 5,
     num_minibatches: int = 8,
+    update_epochs: int = 4,
     renderer: str = "raycast",
     target_only: bool = False,
-    compute_dtype="bf16",  # conv-torso compute: 'bf16' (default) | 'f32'
+    compute_dtype="bf16",  # image-torso compute: 'bf16' (default) | 'f32'
+    torso: str = "conv",  # image torso: 'conv' | 'patch' (models/policy.py)
+    pixel_store: str = "f32",  # rollout pixel storage: 'f32' | 'u8' (exact,
+    #   4x less HBM traffic through the learner's shuffle/minibatch path)
     curriculum_iters: Optional[int] = None,  # ramp world difficulty 0 -> 1
     #   over this many iterations (obstacle count/size; requires
     #   randomize_worlds); worlds resample every chunk at the ramped level
@@ -470,6 +480,7 @@ def train_vision(
     from fpyv_tpu.world.randomize import curriculum_worlds
 
     env = VisionAcroEnv(renderer=renderer, target_only=target_only,
+                        pixel_dtype=pixel_store,
                         **({"rig": rig} if rig is not None else {}))
     key = jax.random.key(seed)
     k_world, k_env, k_net, k_train = jax.random.split(key, 4)
@@ -487,11 +498,12 @@ def train_vision(
             lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), world)
 
     net = PixelActorCritic(
-        action_dim=4,
+        action_dim=4, torso=torso,
         compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None)
     config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
                        learning_rate=learning_rate,
-                       num_minibatches=num_minibatches)
+                       num_minibatches=num_minibatches,
+                       update_epochs=update_epochs)
 
     def apply_fn(params, obs):
         proprio = jnp.concatenate(
@@ -513,8 +525,30 @@ def train_vision(
                       jnp.concatenate([obs["rates"][:1], obs["accel_z"][:1],
                                        obs["thrust"][:1]], axis=-1))
 
-    init, train_iteration = make_ppo(apply_fn, env_step, config)
-    state = init(params, (env_state, worlds), obs, k_train)
+    if distributed:
+        # same layout as train_acro's distributed path: env bank (and the
+        # per-env worlds riding the carry) sharded P('env'), params
+        # replicated, grads pmean over ICI. The obs pytree ({pixels, rates,
+        # accel_z, thrust}) and the (env_state, worlds) carry shard by
+        # pytree-prefix specs — BASELINE config #4's "sharded across hosts"
+        # clause for the pixel-observation trainer.
+        if curriculum_iters:
+            raise ValueError("curriculum_iters is not supported with "
+                             "distributed=True (the resample hook would "
+                             "need resharding between chunks)")
+        from fpyv_tpu.parallel.mesh import make_mesh
+        from fpyv_tpu.parallel.train import (make_distributed_ppo,
+                                             shard_ppo_state)
+
+        mesh = make_mesh()
+        init, train_iteration = make_distributed_ppo(
+            apply_fn, env_step, config, mesh)
+        state = init(params, (env_state, worlds), obs,
+                     jax.random.split(k_train, mesh.size))
+        state = shard_ppo_state(state, mesh)
+    else:
+        init, train_iteration = make_ppo(apply_fn, env_step, config)
+        state = init(params, (env_state, worlds), obs, k_train)
 
     start_iter = 0
     if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:

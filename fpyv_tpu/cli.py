@@ -62,6 +62,8 @@ def _cmd_train(args):
             num_iterations=args.iterations, num_steps=args.num_steps,
             seed=args.seed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            gate_size=args.gate_size,
+            max_episode_steps=args.max_episode_steps,
         )
     elif args.algo == "es":
         res = train_es(
@@ -86,7 +88,8 @@ def _cmd_train(args):
     elif args.vision:
         res = train_vision(
             num_envs=num_envs, num_iterations=args.iterations,
-            num_steps=args.num_steps, seed=args.seed, log_dir=args.log_dir,
+            num_steps=args.num_steps, seed=args.seed,
+            distributed=args.distributed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             randomize_worlds=args.randomize, renderer=args.renderer,
             target_only=args.target_only,
@@ -241,6 +244,11 @@ def main(argv=None):
                          "or the multi-agent gate race (shared-policy PPO)")
     tp.add_argument("--agents", type=int, default=4,
                     help="(race) drones per race instance")
+    tp.add_argument("--gate-size", type=float, default=5.0,
+                    help="(race) gate size (m) — big gates for curriculum "
+                         "phase 1, resume smaller")
+    tp.add_argument("--max-episode-steps", type=int, default=2000,
+                    help="(race) episode horizon (laps-per-episode ceiling)")
     tp.add_argument("--population", type=int, default=256,
                     help="(es) candidates per generation (antithetic pairs)")
     tp.add_argument("--noise-std", type=float, default=0.05,

@@ -74,12 +74,21 @@ class VisionAcroEnv:
     # components.py:790-805) appears on the gate plane. Threaded to both
     # the XLA and pallas raycast paths.
     frame_width: float = 0.08
+    # Pixel observation dtype: "f32" = levels/255 floats (the original obs);
+    # "u8" = the raw uint8 levels. u8 quarters the HBM footprint of every
+    # stored rollout frame (the PPO batch at 1024 envs x T=32 x 96x72 is
+    # 906 MB in f32, 227 MB in u8) and is numerically exact — the policy
+    # torso reapplies /255 in f32 on use (models/policy.PixelActorCritic).
+    pixel_dtype: str = "f32"
 
     def __post_init__(self):
         if self.renderer not in ("splat", "raycast", "raycast_pallas"):
             raise ValueError(
                 "renderer must be 'splat', 'raycast' or 'raycast_pallas', "
                 f"got {self.renderer!r}")
+        if self.pixel_dtype not in ("f32", "u8"):
+            raise ValueError(
+                f"pixel_dtype must be 'f32' or 'u8', got {self.pixel_dtype!r}")
 
     @property
     def params(self) -> DroneParams:
@@ -156,7 +165,12 @@ class VisionAcroEnv:
         img = self._render(state, world, bank)
         # splat/raycast emit uint8 images; the pallas renderer emits the
         # same levels already as floats in [0, 1]
-        if jnp.issubdtype(img.dtype, jnp.floating):
+        if self.pixel_dtype == "u8":
+            if jnp.issubdtype(img.dtype, jnp.floating):
+                pixels = jnp.round(img * 255.0).astype(jnp.uint8)
+            else:
+                pixels = img
+        elif jnp.issubdtype(img.dtype, jnp.floating):
             pixels = img.astype(self.acro.dtype)
         else:
             pixels = img.astype(self.acro.dtype) / 255.0

@@ -60,11 +60,20 @@ class ActorCritic(fnn.Module):
 
 
 class PixelActorCritic(fnn.Module):
-    """Conv torso for depth-image observations + MLP heads.
+    """Image torso for depth-image observations + MLP heads.
 
     For the vision envs (fpyv_tpu.envs.vision_acro): the depth image passes
-    through a small conv stack (NHWC, bf16-friendly), concatenates with the
-    proprioceptive vector, then splits into Gaussian policy and value heads.
+    through an image torso, concatenates with the proprioceptive vector,
+    then splits into Gaussian policy and value heads. Two torsos:
+
+    - "conv": small 3x3/stride-2 conv stack (NHWC). Convs over a 1-channel
+      96x72 image contract over only 9-144 elements — a poor fit for the
+      128x128 MXU, which wants large matmul contractions.
+    - "patch": ViT-style patchify-dense — the image splits into
+      ``patch x patch`` tiles, each embeds through one Dense, and the
+      flattened embeddings feed the fc stack. Every op is a large dense
+      matmul (contraction >= patch^2, then n_patches*embed), which is what
+      the MXU runs at full rate; there is no conv lowering at all.
     """
 
     action_dim: int
@@ -75,19 +84,41 @@ class PixelActorCritic(fnn.Module):
     # precision: the MXU runs bf16 at a multiple of f32 throughput and the
     # depth-image torso is where the learner's FLOPs are); None = f32.
     compute_dtype: Optional[type] = jnp.bfloat16
+    torso: str = "conv"  # "conv" | "patch"
+    patch: int = 8
+    embed: int = 128  # per-patch embedding width (patch torso)
 
     @fnn.compact
     def __call__(self, pixels, proprio) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """pixels (..., H, W) in [0,1]; proprio (..., P)."""
+        """pixels (..., H, W) in [0,1] f32/bf16 OR uint8 levels (converted
+        here — storing rollout pixels as uint8 quarters the learner's HBM
+        traffic and is numerically exact: levels/255 is reapplied on use);
+        proprio (..., P)."""
         dt = self.compute_dtype
-        x = pixels[..., None]  # -> NHWC
-        if dt is not None:
-            x = x.astype(dt)
-        for i, ch in enumerate(self.channels):
-            x = fnn.Conv(ch, (3, 3), strides=(2, 2), name=f"conv{i}",
-                         dtype=dt)(x)
-            x = fnn.relu(x)
-        x = x.reshape(x.shape[: pixels.ndim - 2] + (-1,))
+        if pixels.dtype == jnp.uint8:
+            # via f32 so values are bit-identical to the f32-storage path
+            # (u8 -> bf16 -> /255 would round differently)
+            pixels = pixels.astype(jnp.float32) / 255.0
+        if self.torso == "patch":
+            p = self.patch
+            H, W = pixels.shape[-2], pixels.shape[-1]
+            lead = pixels.shape[:-2]
+            # space-to-depth: (..., H, W) -> (..., (H/p)*(W/p), p*p)
+            x = pixels.reshape(lead + (H // p, p, W // p, p))
+            x = jnp.moveaxis(x, -3, -2).reshape(lead + (-1, p * p))
+            if dt is not None:
+                x = x.astype(dt)
+            x = fnn.relu(fnn.Dense(self.embed, name="patch_embed", dtype=dt)(x))
+            x = x.reshape(lead + (-1,))
+        else:
+            x = pixels[..., None]  # -> NHWC
+            if dt is not None:
+                x = x.astype(dt)
+            for i, ch in enumerate(self.channels):
+                x = fnn.Conv(ch, (3, 3), strides=(2, 2), name=f"conv{i}",
+                             dtype=dt)(x)
+                x = fnn.relu(x)
+            x = x.reshape(x.shape[: pixels.ndim - 2] + (-1,))
         x = jnp.concatenate(
             [x, proprio.astype(x.dtype)], axis=-1)
         for i, h in enumerate(self.hidden):

@@ -288,23 +288,42 @@ def _render_kernel(cfg: _RenderCfg, dcam_ref, cam_ref, wcol_ref, out_ref):
     out_ref[:, :] = _encode_levels(t_min, cfg.max_depth)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def _call_render(cfg: _RenderCfg, dcam, cam, wcol, interpret=False):
+_PIX_BLK_MAX = 8192  # lanes per render tile: big frames (640x480 = 307200
+# px) cannot ride VMEM whole — a (8, HW) f32 tile plus the ~10 live
+# intermediates of the ray math blows the 16 MB scoped-VMEM budget, so the
+# pixel axis tiles too (each block re-reads only its dcam column slice;
+# rays are independent, so the split is free)
+
+
+def _pix_block(hw: int) -> int:
+    """Largest divisor of hw that is a multiple of 128 and <= _PIX_BLK_MAX."""
+    best = 128
+    for blk in range(128, min(hw, _PIX_BLK_MAX) + 1, 128):
+        if hw % blk == 0:
+            best = blk
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "e_blk"))
+def _call_render(cfg: _RenderCfg, dcam, cam, wcol, interpret=False,
+                 e_blk=E_BLK):
     n = cam.shape[0]
     wcols = wcol.shape[1]
-    grid = (n // E_BLK,)
+    pblk = _pix_block(cfg.hw)
+    cfg_blk = cfg._replace(hw=pblk)
+    grid = (n // e_blk, cfg.hw // pblk)
     return pl.pallas_call(
-        functools.partial(_render_kernel, cfg),
+        functools.partial(_render_kernel, cfg_blk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, cfg.hw), lambda i: (0, 0),
+            pl.BlockSpec((3, pblk), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E_BLK, 16), lambda i: (i, 0),
+            pl.BlockSpec((e_blk, 16), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((E_BLK, wcols), lambda i: (i, 0),
+            pl.BlockSpec((e_blk, wcols), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((E_BLK, cfg.hw), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((e_blk, pblk), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, cfg.hw), jnp.float32),
         interpret=interpret,
@@ -321,6 +340,7 @@ def pallas_render_depth(
     ground_extent: Optional[float] = None,
     frame_width: float = 0.08,
     interpret: bool = False,
+    e_blk: int = E_BLK,  # envs per render tile (sublane-axis block height)
 ) -> jnp.ndarray:
     """f32 depth frames (N, H, W) in [0, 1], quantized to uint8 levels —
     numerically ``render_depth_raycast(...).astype(f32)/255`` (the exact
@@ -333,7 +353,7 @@ def pallas_render_depth(
     cam_pos = jnp.atleast_2d(cam_pos).astype(jnp.float32)
     cam_R = cam_R.reshape((-1, 3, 3)).astype(jnp.float32)
     n = cam_pos.shape[0]
-    n_pad = -(-n // E_BLK) * E_BLK
+    n_pad = -(-n // e_blk) * e_blk
     cfg = _RenderCfg(
         hw=hw, width=W,
         n_spheres=int(world.num_spheres), n_cylinders=int(world.num_cylinders),
@@ -354,7 +374,7 @@ def pallas_render_depth(
         wcol = jnp.concatenate(
             [wcol, jnp.zeros((n_pad - n, wcol.shape[1]), jnp.float32)], axis=0)
     dcam = jnp.asarray(_flat_dcam(rig))
-    out = _call_render(cfg, dcam, cam, wcol, interpret=interpret)
+    out = _call_render(cfg, dcam, cam, wcol, interpret=interpret, e_blk=e_blk)
     out = out[:n].reshape(n, H, W)
     return out[0] if single else out
 
@@ -632,25 +652,28 @@ def _chase_kernel(params, cfg_env, action_fn, n_steps, use_cyl, n_lane_total,
     """One grid program advances ONE 8-env column block K steps.  The grid
     (not an in-kernel loop) walks the env bank because mosaic has no
     dynamic lane slicing; the state rides env-major (8 envs on sublanes,
-    components on lanes — TPU blocks must keep the lane dim whole), and is
-    reshuffled to _env_loop_math's row layout with static slices once at
-    entry/exit."""
-    (cyl_ref, out_ref, rsum_ref, crash_ref, contact_ref) = (
+    components on lanes) and is relaid to _env_loop_math's (CH_ROWS*8, 1)
+    row layout through a VMEM scratch — per-slice STORES at static offsets,
+    because mosaic rejects concatenating slices whose offsets differ on a
+    non-concat dimension (both lane-offset columns stacked on sublanes and
+    sublane-offset rows stacked on lanes hit that on the real chip; stores
+    relayout freely)."""
+    (cyl_ref, out_ref, rsum_ref, crash_ref, contact_ref, st_scratch) = (
         rest if use_cyl else (None,) + rest)
     seed = seed_ref[0]
     g = pl.program_id(0)
-    st_T = state_ref[:, :]  # (8, CH_ROWS)
-    st_rows = jnp.concatenate(
-        [st_T[:, i:i + 1] for i in range(CH_ROWS)], axis=0)  # (CH_ROWS*8, 1)
+    st_T = state_ref[:, :]  # (8, CH_ROWS) env-major
+    for r in range(CH_ROWS):  # entry relayout via scratch stores
+        st_scratch[SUBLANES * r:SUBLANES * (r + 1), :] = st_T[:, r:r + 1]
+    st_rows = st_scratch[:, :]  # (CH_ROWS*8, 1) row layout
     out, rsum, crashes, contacts = _env_loop_math(
         params, cfg_env, n_steps, seed, st_rows, None,
         world_ref[:, :], cyl_mat=cyl_ref[:, :] if use_cyl else None,
         action_fn=functools.partial(action_fn, dcam=dcam_ref[:, :]),
         extra_metrics=True, n_pilot_rows=N_PILOT_ROWS,
         lane_col0=g, n_lane_total=n_lane_total)
-    out_ref[:, :] = jnp.concatenate(
-        [out[SUBLANES * i:SUBLANES * (i + 1)] for i in range(CH_ROWS)],
-        axis=1)
+    for r in range(CH_ROWS):  # exit relayout: row tiles -> lane columns
+        out_ref[:, r:r + 1] = out[SUBLANES * r:SUBLANES * (r + 1), :]
     rsum_ref[:, :] = rsum
     crash_ref[:, :] = crashes
     contact_ref[:, :] = contacts
@@ -686,6 +709,7 @@ def _call_chase_rollout(params, cfg_env, action_fn, state_mat, world_mat,
                   shared(dcam.shape)]
         + ([shared(cyl_mat.shape)] if use_cyl else []),
         out_specs=(blocked(CH_ROWS), blocked(1), blocked(1), blocked(1)),
+        scratch_shapes=[pltpu.VMEM((CH_ROWS * SUBLANES, 1), jnp.float32)],
         interpret=interpret,
     )(*args)
     return (_from_env_major(out_em, CH_ROWS),

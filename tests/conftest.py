@@ -20,6 +20,13 @@ jax.config.update("jax_platforms", "cpu")
 # float32 behavior is exercised via explicit dtype casts where relevant.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite is compile-bound (vision-PPO /
+# distributed programs take 10-20 s each to build), so repeat runs drop to
+# a fraction of the cold time. Safe to share across workers; keyed by HLO.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/fpyv_tpu_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 

@@ -363,13 +363,13 @@ class TestMultiRacePpo:
         from fpyv_tpu.apps.train import train_race
 
         log_dir = str(tmp_path / "race")
-        res = train_race(num_envs=4, n_agents=3, num_iterations=4,
-                         num_steps=8, scan_chunk=2, hidden=(16,),
+        res = train_race(num_envs=4, n_agents=2, num_iterations=2,
+                         num_steps=4, scan_chunk=1, hidden=(16,),
                          log_dir=log_dir, print_every=100)
         assert np.isfinite(res.mean_reward_last)
         rows = [json.loads(line) for line in
                 open(f"{log_dir}/metrics.jsonl", encoding="utf-8")]
-        assert len(rows) == 4
+        assert len(rows) == 2
         assert "mean_gates_passed" in rows[0]
         assert "gates_per_100_steps" in rows[0]
 
@@ -402,9 +402,19 @@ class TestWind:
                                    np.asarray(sw.drone.pos))
         a = jnp.zeros((16, 4), jnp.float32).at[:, 3].set(-0.55)
         world = calm.default_world()
-        for _ in range(30):
-            sc = jax.vmap(lambda s, aa: calm.step(s, aa, world)[0])(sc, a)
-            sw = jax.vmap(lambda s, aa: windy.step(s, aa, world)[0])(sw, a)
+
+        @jax.jit
+        def roll(sc, sw):
+            def body(carry, _):
+                sc, sw = carry
+                sc = jax.vmap(lambda s, aa: calm.step(s, aa, world)[0])(sc, a)
+                sw = jax.vmap(lambda s, aa: windy.step(s, aa, world)[0])(sw, a)
+                return (sc, sw), None
+
+            (sc, sw), _ = jax.lax.scan(body, (sc, sw), None, length=30)
+            return sc, sw
+
+        sc, sw = roll(sc, sw)
         dx = np.asarray(sw.drone.pos[:, 0]) - np.asarray(sc.drone.pos[:, 0])
         # +x wind drags the drone downwind (drag force along v_rel = v + w...
         # reference convention: wind ADDS to velocity in the drag term,
@@ -512,9 +522,12 @@ class TestCurriculum:
             jf(jax.random.key(1), jnp.float32(d))
         assert calls["n"] == 1, "difficulty retriggered tracing"
 
+    @pytest.mark.slow
     def test_train_vision_curriculum_smoke(self):
         """train_vision with curriculum_iters runs end to end; worlds swap
-        between chunks without retracing the train program."""
+        between chunks without retracing the train program.  slow: one full
+        vision-PPO compile (~20 s); the no-retrace property itself is the
+        fast test above."""
         from fpyv_tpu.apps.train import train_vision
         from fpyv_tpu.vision.camera import CameraRig
 

@@ -160,9 +160,16 @@ class TestCylinderParity:
         actions = jnp.asarray(rng.uniform(-0.3, 0.3, (N, 4)), jnp.float32)
 
         K = 40
-        ref = state
-        for _ in range(K):
-            ref, _ = drone_step(params, ref, actions, world)
+
+        @jax.jit
+        def roll(st):
+            def body(st, _):
+                st, _ = drone_step(params, st, actions, world)
+                return st, None
+
+            return jax.lax.scan(body, st, None, length=K)[0]
+
+        ref = roll(state)
         out = pallas_rollout(params, state, actions, world, K, interpret=True)
         assert not np.asarray(ref.done).any()
         np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),

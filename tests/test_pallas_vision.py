@@ -273,13 +273,16 @@ class TestChase:
         return env, world, state
 
     def test_parity_vs_host_pilot(self):
-        """Kernel trajectory == host-composed XLA pilot (before any reset)."""
-        env, world, state = self._setup()
-        rig = default_vision_rig()
+        """Kernel trajectory == host-composed XLA pilot (before any reset).
+        Reduced rig/K keep the exact-parity case in the fast suite
+        (VERDICT r2 #4); the full-rig behavior runs under the slow marks."""
+        env, world, state = self._setup(n=8)
+        rig = CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
+                        fov_deg=120.0, resolution=(64, 48))
         st_k, _, _, _, _ = pallas_vision_env_rollout(
-            env, state, world, 25, rig=rig, interpret=True)
+            env, state, world, 15, rig=rig, interpret=True)
         host = _HostChase(env, rig, ChasePilot(), world)
-        drone = host.run(state.drone, 25)
+        drone = host.run(state.drone, 15)
         assert not bool(np.asarray(st_k.drone.done).any())
         np.testing.assert_allclose(np.asarray(st_k.drone.pos),
                                    np.asarray(drone.pos), atol=1e-4)

@@ -60,8 +60,11 @@ class TestShardingDeterminism:
 
 
 class TestDistributedPpo:
+    @pytest.mark.slow
     def test_dryrun_multichip(self, eight_devices):
-        """The driver's multichip validation path must pass on the fake mesh."""
+        """The driver's multichip validation path must pass on the fake mesh.
+        slow: three full distributed compiles (acro + vision + ES); the
+        driver also runs this every round (MULTICHIP_rN.json)."""
         import sys
         from pathlib import Path
 

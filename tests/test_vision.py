@@ -206,11 +206,12 @@ class TestVisionEnv:
         env = VisionAcroEnv()
         world, bank = env.make_world(seed=1)
         keys = jax.random.split(jax.random.key(0), 4)
-        state, obs = jax.vmap(lambda k: env.reset(k, world, bank))(keys)
+        state, obs = jax.jit(
+            jax.vmap(lambda k: env.reset(k, world, bank)))(keys)
         assert obs["pixels"].shape == (4, 72, 96)
         a = jnp.zeros((4, 4)).at[:, 3].set(-0.6)
-        state, obs, r, d, info = jax.vmap(
-            lambda s, aa: env.step(s, aa, world, bank))(state, a)
+        state, obs, r, d, info = jax.jit(jax.vmap(
+            lambda s, aa: env.step(s, aa, world, bank)))(state, a)
         assert np.isfinite(np.asarray(r)).all()
         assert info["target_pixel"].shape == (4, 2)
         # the default world has visible geometry from spawn heights
