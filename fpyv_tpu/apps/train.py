@@ -447,13 +447,19 @@ def train_vision(
     print_every: int = 10,
     scan_chunk: int = 5,
     num_minibatches: int = 8,
-    update_epochs: int = 4,
+    update_epochs: int = 2,
     renderer: str = "raycast",
     target_only: bool = False,
     compute_dtype="bf16",  # image-torso compute: 'bf16' (default) | 'f32'
-    torso: str = "conv",  # image torso: 'conv' | 'patch' (models/policy.py)
-    pixel_store: str = "f32",  # rollout pixel storage: 'f32' | 'u8' (exact,
-    #   4x less HBM traffic through the learner's shuffle/minibatch path)
+    torso: str = "patch",  # image torso: 'patch' | 'conv' (models/policy.py)
+    pixel_store: str = "u8",  # rollout pixel storage: 'u8' | 'f32' (u8 is
+    #   numerically exact and 4x less HBM through the shuffle/minibatch path)
+    # Defaults = the measured round-3 winner (BENCH.md): patch torso + u8
+    # storage + 2 epochs trains at 436K env-steps/s (2.58x the round-2
+    # conv/f32/4-epoch default) and converges BETTER on the 400-iteration
+    # seed-matched A/B (last-50 reward -0.0115 vs -0.0212, crash rate 3x
+    # lower). torso="conv", pixel_store="f32", update_epochs=4 restores the
+    # old path exactly.
     curriculum_iters: Optional[int] = None,  # ramp world difficulty 0 -> 1
     #   over this many iterations (obstacle count/size; requires
     #   randomize_worlds); worlds resample every chunk at the ramped level

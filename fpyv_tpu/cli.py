@@ -92,8 +92,11 @@ def _cmd_train(args):
             distributed=args.distributed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             randomize_worlds=args.randomize, renderer=args.renderer,
-            target_only=args.target_only,
+            target_only=args.target_only, torso=args.torso,
+            pixel_store=args.pixel_store,
             curriculum_iters=args.curriculum,
+            **({"update_epochs": args.update_epochs}
+               if args.update_epochs else {}),
         )
     else:
         res = train_acro(
@@ -278,6 +281,13 @@ def main(argv=None):
     tp.add_argument("--target-only", action="store_true",
                     help="render only the chased target (the reference's "
                          "guidance view) instead of the full world")
+    tp.add_argument("--torso", choices=["patch", "conv"], default="patch",
+                    help="(vision) image torso: patch-embed matmuls (fast "
+                         "MXU default) or the conv stack")
+    tp.add_argument("--pixel-store", choices=["u8", "f32"], default="u8",
+                    help="(vision) rollout pixel storage dtype (u8 exact)")
+    tp.add_argument("--update-epochs", type=int, default=None,
+                    help="PPO epochs per iteration (default: trainer's)")
     tp.add_argument("--curriculum", type=int, default=None, metavar="N",
                     help="(vision, with --randomize) ramp world difficulty "
                          "0 -> 1 over N iterations (obstacle count/size)")
