@@ -344,13 +344,15 @@ def train_es(
 
 def train_sac(
     num_envs: int = 1024,
-    num_iterations: int = 2000,  # env steps (each = num_envs transitions)
+    num_iterations: int = 4000,  # env steps (each = num_envs transitions)
     warmup_steps: int = 50,  # uniform-random exploration steps
     seed: int = 0,
     randomize: bool = False,
     buffer_capacity: int = 500_000,
-    batch_size: int = 1024,
-    updates_per_step: int = 1,
+    batch_size: int = 2048,
+    updates_per_step: int = 8,  # synchronized 1024-env collection is
+    #   data-rich/update-poor: 1 update/step plateaus at reward -0.19 while
+    #   8 updates reach +0.02 (PPO-level) — BENCH.md round 3
     hidden=(128, 128),
     log_dir: Optional[str] = None,
     print_every: int = 100,

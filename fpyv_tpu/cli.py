@@ -239,7 +239,7 @@ def main(argv=None):
                          "SAC (off-policy, on-device replay)")
     tp.add_argument("--warmup-steps", type=int, default=50,
                     help="(sac) uniform-random exploration env steps")
-    tp.add_argument("--updates-per-step", type=int, default=1,
+    tp.add_argument("--updates-per-step", type=int, default=8,
                     help="(sac) gradient updates per synchronized env step")
     tp.add_argument("--env", choices=["acro", "rotate", "race"],
                     default="acro",
