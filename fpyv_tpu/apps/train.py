@@ -433,6 +433,92 @@ def train_sac(
     )
 
 
+def train_vision_race(
+    num_envs: int = 1024,
+    num_iterations: int = 300,
+    num_steps: int = 32,
+    seed: int = 0,
+    log_dir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 100,
+    resume: bool = False,
+    learning_rate: float = 3e-4,
+    print_every: int = 10,
+    scan_chunk: int = 10,
+    num_minibatches: int = 8,
+    update_epochs: int = 2,
+    gate_size: float = 5.0,
+    max_episode_steps: int = 2000,
+    frame_width: float = 0.35,
+    torso: str = "patch",
+    compute_dtype="bf16",
+) -> TrainResult:
+    """Gate racing from PIXELS (BASELINE config #4's "gate/track markers"
+    clause): single-drone MultiRaceEnv whose observation is the rendered
+    FPV depth view of the gate track (envs/vision_race.py), trained with
+    the same patch-torso/u8/2-epoch PPO recipe as train_vision. Logs
+    gates_passed so the racing signal is measured, not just reward."""
+    from fpyv_tpu.envs.multi_race import MultiRaceEnv
+    from fpyv_tpu.envs.vision_race import VisionRaceEnv
+    from fpyv_tpu.models.policy import PixelActorCritic
+
+    env = VisionRaceEnv(
+        race=MultiRaceEnv(n_agents=1, gate_size=gate_size,
+                          max_episode_steps=max_episode_steps),
+        frame_width=frame_width)
+    world = env.default_world()
+    net = PixelActorCritic(
+        action_dim=4, torso=torso,
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None)
+    config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
+                       learning_rate=learning_rate,
+                       num_minibatches=num_minibatches,
+                       update_epochs=update_epochs)
+
+    def proprio(obs):
+        return jnp.concatenate(
+            [obs["rates"], obs["accel_z"], obs["thrust"],
+             obs["gate_onehot"]], axis=-1)
+
+    def apply_fn(params, obs):
+        return net.apply(params, obs["pixels"], proprio(obs))
+
+    def env_step(env_state, action, key):
+        st, obs, reward, done, info = env.step_batched(env_state, action,
+                                                       world)
+        return st, obs, reward, info["crashed"]
+
+    def race_metrics(env_state):
+        gates = env_state.gates_passed.astype(jnp.float32)
+        t = jnp.maximum(env_state.t, 1).astype(jnp.float32)[..., None]
+        return {
+            "mean_gates_passed": gates.mean(),
+            "gates_per_100_steps": (gates / t).mean() * 100.0,
+        }
+
+    key = jax.random.key(seed)
+    k_env, k_net, k_train = jax.random.split(key, 3)
+    env_state, obs = env.reset_batched(jax.random.split(k_env, num_envs),
+                                       world)
+    params = net.init(k_net, obs["pixels"][:1], proprio(obs)[:1])
+    init, train_iteration = make_ppo(apply_fn, env_step, config,
+                                     metrics_fn=race_metrics)
+    state = init(params, env_state, obs, k_train)
+
+    start_iter = 0
+    if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
+        start_iter = latest_step(checkpoint_dir)
+        state = restore_checkpoint(checkpoint_dir, start_iter, template=state)
+        print(f"resumed from checkpoint at iteration {start_iter}")
+
+    return _train_loop(
+        state, train_iteration, num_envs=num_envs, num_steps=num_steps,
+        num_iterations=num_iterations, start_iter=start_iter,
+        scan_chunk=scan_chunk, log_dir=log_dir, print_every=print_every,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
+
+
 def train_vision(
     num_envs: int = 1024,
     num_iterations: int = 100,

@@ -53,10 +53,25 @@ def _cmd_train(args):
         256 if args.algo == "es"
         else 1024 if (args.vision or args.env == "race" or args.algo == "sac")
         else 4096)
-    if args.env == "race":
-        if args.algo != "ppo" or args.vision:
+    if args.env == "race" and args.vision:
+        # pixels-to-action gate racing (BASELINE #4's gate/track markers)
+        from fpyv_tpu.apps.train import train_vision_race
+
+        if args.algo != "ppo":
+            raise SystemExit("--env race --vision runs PPO")
+        res = train_vision_race(
+            num_envs=num_envs, num_iterations=args.iterations,
+            num_steps=args.num_steps, seed=args.seed, log_dir=args.log_dir,
+            checkpoint_dir=args.checkpoint_dir, resume=args.resume,
+            gate_size=args.gate_size,
+            max_episode_steps=args.max_episode_steps, torso=args.torso,
+            **({"update_epochs": args.update_epochs}
+               if args.update_epochs else {}),
+        )
+    elif args.env == "race":
+        if args.algo != "ppo":
             raise SystemExit("--env race runs shared-policy PPO "
-                             "(no --vision / --algo es|sac)")
+                             "(no --algo es|sac)")
         res = train_race(
             num_envs=num_envs, n_agents=args.agents,
             num_iterations=args.iterations, num_steps=args.num_steps,

@@ -119,7 +119,10 @@ class MultiRaceEnv:
 
         rel_all = d.pos[..., None, :, :] - d.pos[..., :, None, :]
         A = self.n_agents
-        idx = np.stack([[j for j in range(A) if j != i] for i in range(A)])
+        # int dtype explicit: the A == 1 single-agent case (the vision race
+        # env) produces an EMPTY index list, which numpy defaults to float64
+        idx = np.asarray(
+            [[j for j in range(A) if j != i] for i in range(A)], np.int32)
         others = rel_all[..., np.arange(A)[:, None], idx, :].reshape(
             rel_all.shape[:-3] + (A, (A - 1) * 3))
         return jnp.concatenate(
