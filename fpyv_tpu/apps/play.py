@@ -33,13 +33,14 @@ def _video_rig(resolution: Tuple[int, int]):
 
 def play_policy(
     checkpoint_dir: str,
-    env_name: str = "acro",  # 'acro' | 'vision' | 'race'
+    env_name: str = "acro",  # 'acro' | 'vision' | 'race' | 'vision_race'
     steps: int = 600,
     num_envs: int = 16,  # eval bank; stats average over it, video shows env 0
     seed: int = 0,
     hidden=(128, 128),  # must match the training net (acro/race)
     n_agents: int = 4,  # race
     randomize_worlds: bool = False,  # vision
+    torso: str = "patch",  # vision nets: must match the trained torso
     save_video: Optional[str] = None,
     video_resolution: Tuple[int, int] = (640, 480),
     chunk: int = 120,  # steps per device call
@@ -85,7 +86,7 @@ def play_policy(
             world0, bank = env.make_world()
             worlds = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), world0)
-        net = PixelActorCritic(action_dim=4)
+        net = PixelActorCritic(action_dim=4, torso=torso)
 
         def _proprio(obs):
             return jnp.concatenate(
@@ -103,6 +104,30 @@ def play_policy(
         def frame_state(st):
             return (jax.tree.map(lambda x: x[0], st.drone),
                     jax.tree.map(lambda x: x[0], worlds))
+
+    elif env_name == "vision_race":
+        from fpyv_tpu.envs.vision_race import VisionRaceEnv
+
+        env = VisionRaceEnv()
+        world = env.default_world()
+        net = PixelActorCritic(action_dim=4, torso=torso)
+
+        def _vr_proprio(obs):
+            return jnp.concatenate(
+                [obs["rates"], obs["accel_z"], obs["thrust"],
+                 obs["gate_onehot"]], axis=-1)
+
+        def reset_fn(keys):
+            return env.reset_batched(keys, world)
+
+        def step_fn(st, obs):
+            mean, _, _ = net.apply(params, obs["pixels"], _vr_proprio(obs))
+            st, obs, r, d, info = env.step_batched(st, mean, world)
+            return st, obs, r, info["crashed"], {
+                "gates_passed": info["gates_passed"]}
+
+        def frame_state(st):
+            return jax.tree.map(lambda x: x[0, 0], st.drones), world
 
     elif env_name == "race":
         from fpyv_tpu.envs.multi_race import MultiRaceEnv

@@ -136,7 +136,7 @@ def _cmd_play(args):
         checkpoint_dir=args.checkpoint_dir, env_name=args.env,
         steps=args.steps, num_envs=args.num_envs, seed=args.seed,
         n_agents=args.agents, randomize_worlds=args.randomize,
-        save_video=args.save_video, chunk=args.chunk,
+        torso=args.torso, save_video=args.save_video, chunk=args.chunk,
     )
     print(json.dumps(out))
 
@@ -314,8 +314,11 @@ def main(argv=None):
     yp = sub.add_parser("play", help="fly a trained checkpoint (optionally "
                                      "recording the FPV view to video)")
     yp.add_argument("--checkpoint-dir", required=True)
-    yp.add_argument("--env", choices=["acro", "vision", "race"],
+    yp.add_argument("--env", choices=["acro", "vision", "race",
+                                      "vision_race"],
                     default="acro")
+    yp.add_argument("--torso", choices=["patch", "conv"], default="patch",
+                    help="(vision/vision_race) must match the trained net")
     yp.add_argument("--steps", type=int, default=600)
     yp.add_argument("--num-envs", type=int, default=16)
     yp.add_argument("--agents", type=int, default=4, help="(race)")

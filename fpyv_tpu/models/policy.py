@@ -102,6 +102,10 @@ class PixelActorCritic(fnn.Module):
         if self.torso == "patch":
             p = self.patch
             H, W = pixels.shape[-2], pixels.shape[-1]
+            if H % p or W % p:
+                raise ValueError(
+                    f"patch torso needs H and W divisible by patch={p}, "
+                    f"got {H}x{W} — use torso='conv' or a smaller patch")
             lead = pixels.shape[:-2]
             # space-to-depth: (..., H, W) -> (..., (H/p)*(W/p), p*p)
             x = pixels.reshape(lead + (H // p, p, W // p, p))

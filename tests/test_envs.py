@@ -531,7 +531,7 @@ class TestCurriculum:
         from fpyv_tpu.apps.train import train_vision
         from fpyv_tpu.vision.camera import CameraRig
 
-        rig = CameraRig(resolution=(16, 12))
+        rig = CameraRig(resolution=(16, 8))  # patch-torso: H,W % 8 == 0
         res = train_vision(num_envs=8, num_iterations=6, num_steps=4,
                            seed=0, scan_chunk=2, num_minibatches=2,
                            rig=rig, randomize_worlds=True,

@@ -82,3 +82,20 @@ class TestTrainVisionRace:
                                 scan_chunk=2, num_minibatches=2,
                                 compute_dtype="f32", print_every=100)
         assert np.isfinite(res.mean_reward_last)
+
+    def test_checkpoint_play_roundtrip(self, tmp_path):
+        """train -> checkpoint -> deterministic playback (cli play
+        --env vision_race) with the patch-torso net."""
+        from fpyv_tpu.apps.play import play_policy
+        from fpyv_tpu.apps.train import train_vision_race
+
+        ck = str(tmp_path / "ck")
+        train_vision_race(num_envs=8, num_iterations=2, num_steps=4,
+                          scan_chunk=1, num_minibatches=2,
+                          compute_dtype="f32", checkpoint_dir=ck,
+                          checkpoint_every=2, print_every=100)
+        out = play_policy(checkpoint_dir=ck, env_name="vision_race",
+                          steps=8, num_envs=4, chunk=4)
+        assert out["env"] == "vision_race"
+        assert np.isfinite(out["mean_reward_per_step"])
+        assert "final_gates_passed_mean" in out
