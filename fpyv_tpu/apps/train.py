@@ -452,6 +452,9 @@ def train_vision_race(
     frame_width: float = 0.35,
     torso: str = "patch",
     compute_dtype="bf16",
+    ent_coef: float = 0.01,  # pixels give a harder exploration problem
+    #   than state obs: at PPO's default 0.001 the policy's entropy
+    #   collapses (-3.5 nats) while still at ~1.5 gates/episode
 ) -> TrainResult:
     """Gate racing from PIXELS (BASELINE config #4's "gate/track markers"
     clause): single-drone MultiRaceEnv whose observation is the rendered
@@ -473,7 +476,7 @@ def train_vision_race(
     config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
                        learning_rate=learning_rate,
                        num_minibatches=num_minibatches,
-                       update_epochs=update_epochs)
+                       update_epochs=update_epochs, ent_coef=ent_coef)
 
     def proprio(obs):
         return jnp.concatenate(

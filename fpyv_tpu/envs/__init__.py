@@ -22,4 +22,5 @@ from fpyv_tpu.envs.vision_acro import VisionAcroEnv  # noqa: F401
 from fpyv_tpu.envs.sensor_acro import SensorAcroEnv  # noqa: F401
 from fpyv_tpu.envs.hover import HoverEnv, HoverPilot  # noqa: F401
 from fpyv_tpu.envs.multi_race import MultiRaceEnv  # noqa: F401
+from fpyv_tpu.envs.vision_race import VisionRaceEnv  # noqa: F401
 from fpyv_tpu.envs.gym_adapter import GymAdapter  # noqa: F401

@@ -116,3 +116,25 @@ class TestPlayPolicy:
                           params=params)
         assert "final_gates_passed_mean" in out
         assert np.isfinite(out["mean_reward_per_step"])
+
+
+class TestCliSurface:
+    """The round-3 CLI additions parse (help text smoke — no training)."""
+
+    def test_train_help_lists_new_flags(self):
+        from tests.test_racer_and_io import TestCliE2e
+
+        r = TestCliE2e()._run("train", "--help")
+        assert r.returncode == 0
+        for flag in ("--torso", "--pixel-store", "--update-epochs",
+                     "--gate-size", "--max-episode-steps",
+                     "--warmup-steps", "--updates-per-step", "sac"):
+            assert flag in r.stdout, flag
+
+    def test_play_help_lists_vision_race(self):
+        from tests.test_racer_and_io import TestCliE2e
+
+        r = TestCliE2e()._run("play", "--help")
+        assert r.returncode == 0
+        assert "vision_race" in r.stdout
+        assert "--torso" in r.stdout
