@@ -67,6 +67,8 @@ def _cmd_train(args):
             max_episode_steps=args.max_episode_steps, torso=args.torso,
             **({"update_epochs": args.update_epochs}
                if args.update_epochs else {}),
+            **({"ent_coef": args.ent_coef}
+               if args.ent_coef is not None else {}),
         )
     elif args.env == "race":
         if args.algo != "ppo":
@@ -303,6 +305,9 @@ def main(argv=None):
                     help="(vision) rollout pixel storage dtype (u8 exact)")
     tp.add_argument("--update-epochs", type=int, default=None,
                     help="PPO epochs per iteration (default: trainer's)")
+    tp.add_argument("--ent-coef", type=float, default=None,
+                    help="PPO entropy bonus (default: trainer's; the pixel "
+                         "racer uses 0.01 against entropy collapse)")
     tp.add_argument("--curriculum", type=int, default=None, metavar="N",
                     help="(vision, with --randomize) ramp world difficulty "
                          "0 -> 1 over N iterations (obstacle count/size)")

@@ -22,6 +22,13 @@ class ActorCritic(fnn.Module):
     activation: str = "tanh"
     shared_torso: bool = False
     log_std_init: float = -0.5
+    # Clamp applied to the free log_std parameter at use. Unbounded
+    # log_std is a measured failure mode: PPO's entropy bonus (and late-run
+    # value blowups) can inflate sigma until exp()/the importance ratio
+    # overflow and the run NaNs (BENCH.md round 3 — the conv seed-1
+    # divergence and the ent_coef=0.01 pixel-racer both died this way).
+    log_std_min: float = -5.0
+    log_std_max: float = 1.5
 
     def _act(self, x):
         return fnn.tanh(x) if self.activation == "tanh" else fnn.relu(x)
@@ -50,6 +57,7 @@ class ActorCritic(fnn.Module):
             "log_std", fnn.initializers.constant(self.log_std_init),
             (self.action_dim,), jnp.float32,  # explicit: raw init_fns default
         )                                     # to f64 under jax_enable_x64
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
         v_x = pi_x if self.shared_torso else self._torso(obs, "v")
         value = fnn.Dense(
             1, name="v_out",
@@ -87,6 +95,8 @@ class PixelActorCritic(fnn.Module):
     torso: str = "conv"  # "conv" | "patch"
     patch: int = 8
     embed: int = 128  # per-patch embedding width (patch torso)
+    log_std_min: float = -5.0  # see ActorCritic.log_std_min
+    log_std_max: float = 1.5
 
     @fnn.compact
     def __call__(self, pixels, proprio) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -136,6 +146,7 @@ class PixelActorCritic(fnn.Module):
             "log_std", fnn.initializers.constant(self.log_std_init),
             (self.action_dim,), jnp.float32,
         )
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
         value = fnn.Dense(1, name="v_out")(x)[..., 0]
         return mean, log_std, value
 

@@ -132,9 +132,11 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
     n0 = rc0 * a + r0 * (1 - a)
     n1 = rc1 * a + r1 * (1 - a)
     n2 = rc2 * a + r2 * (1 - a)
-    # thrust polynomial (Horner, throttle% = 100(x+1)/2)
+    # thrust polynomial (Horner, throttle% = 100(x+1)/2); throttle clipped
+    # to the stick domain first, matching drone_step (the unclipped cubic
+    # explodes on out-of-range RL actions — physics/drone.py note)
     c3, c2_, c1, c0 = [jnp.float32(c) for c in params.thrust_curve.throttle2thrust_coeffs]
-    xpct = 100.0 * (ac(3) + 1.0) * 0.5
+    xpct = 100.0 * (jnp.clip(ac(3), -1.0, 1.0) + 1.0) * 0.5
     poly = ((c3 * xpct + c2_) * xpct + c1) * xpct + c0
     b = params.thrust_transition_rate
     thrust = poly * b + thrust_prev * (1 - b)

@@ -218,8 +218,16 @@ def action_to_rates_thrust(params: DroneParams, state: DroneState, action):
         rates_cmd * params.rates_transition_rate
         + state.rates * (1.0 - params.rates_transition_rate)
     )
+    # clip throttle to the stick domain before the cubic: the reference's
+    # throttle is a calibrated stick read confined to [-1, 1]
+    # (get_sticks.py:254-265), but RL policies emit unbounded Gaussian
+    # samples — the unclipped cubic at |x| >> 1 produces astronomically
+    # large thrust and the physics NaNs within steps (measured: the vision
+    # racer's divergence at iteration ~2150 reproduced deterministically
+    # from checkpoint until this clip).
     thrust = (
-        params.thrust_curve.throttle_to_thrust(action[..., 3])
+        params.thrust_curve.throttle_to_thrust(
+            jnp.clip(action[..., 3], -1.0, 1.0))
         * params.thrust_transition_rate
         + state.thrust * (1.0 - params.thrust_transition_rate)
     )

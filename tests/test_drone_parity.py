@@ -265,3 +265,67 @@ def test_thrust_curve_matches_oracle(cfg):
     assert params.thrust_curve.min_force == pytest.approx(drone.min_force)
     assert params.thrust_curve.max_force == pytest.approx(drone.max_force)
     assert params.thrust_curve.min_force > 0
+
+
+class TestActionDomainClipping:
+    """RL policies emit unbounded Gaussian actions; the reference's inputs
+    are calibrated sticks confined to [-1, 1] (get_sticks.py:254-265).
+    The thrust cubic must see the stick domain — unclipped, it explodes on
+    out-of-range throttle and the physics NaNs (measured divergence of the
+    vision racer at ~70M env-steps, round 3)."""
+
+    def _step(self, throttle, pallas=False):
+        params = DroneParams(att_mode="quat")
+        world = empty_world(n_spheres=0, ground=True)
+        n = 8  # pallas path wants sublane multiples
+        state = drone_reset(params,
+                            jnp.broadcast_to(
+                                jnp.asarray([0.0, 0.0, 10.0], jnp.float32),
+                                (n, 3)),
+                            jnp.zeros((n, 3), jnp.float32),
+                            jnp.zeros((n, 3), jnp.float32))
+        a = jnp.broadcast_to(
+            jnp.asarray([0.2, -0.1, 0.05, throttle], jnp.float32), (n, 4))
+        if pallas:
+            from fpyv_tpu.ops.pallas_step import pallas_drone_step
+
+            return pallas_drone_step(params, state, a, world, interpret=True)
+        return drone_step(params, state, a, world)[0]
+
+    def test_xla_step_clips_throttle(self):
+        hi = self._step(1e4)
+        one = self._step(1.0)
+        np.testing.assert_allclose(np.asarray(hi.thrust),
+                                   np.asarray(one.thrust))
+        assert np.isfinite(np.asarray(hi.vel)).all()
+
+    def test_pallas_step_clips_throttle(self):
+        hi = self._step(1e4, pallas=True)
+        one = self._step(1.0, pallas=True)
+        np.testing.assert_allclose(np.asarray(hi.thrust),
+                                   np.asarray(one.thrust))
+
+    def test_log_std_is_bounded(self):
+        """The Gaussian heads clamp log_std at use (entropy farming cannot
+        push sigma past exp(log_std_max))."""
+        from fpyv_tpu.models.policy import ActorCritic, PixelActorCritic
+
+        net = ActorCritic(action_dim=4, hidden=(8,))
+        obs = jnp.zeros((1, 6), jnp.float32)
+        params = net.init(jax.random.key(0), obs)
+        params = jax.tree.map(
+            lambda x: jnp.full_like(x, 50.0) if x.shape == (4,) else x,
+            params)
+        _, log_std, _ = net.apply(params, obs)
+        assert float(jnp.max(log_std)) <= net.log_std_max + 1e-6
+
+        pnet = PixelActorCritic(action_dim=4, torso="patch", patch=8,
+                                embed=8, hidden=(8,), compute_dtype=None)
+        px = jnp.zeros((1, 8, 16), jnp.float32)
+        pr = jnp.zeros((1, 5), jnp.float32)
+        pparams = pnet.init(jax.random.key(1), px, pr)
+        pparams = jax.tree.map(
+            lambda x: jnp.full_like(x, 50.0) if x.shape == (4,) else x,
+            pparams)
+        _, plog_std, _ = pnet.apply(pparams, px, pr)
+        assert float(jnp.max(plog_std)) <= pnet.log_std_max + 1e-6
