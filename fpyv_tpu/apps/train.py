@@ -47,7 +47,8 @@ def train_acro(
     hidden=(128, 128),
     learning_rate: float = 3e-4,
     print_every: int = 10,
-    scan_chunk: int = 10,  # iterations per device call (amortizes dispatch)
+    scan_chunk: int = 25,  # iterations per device call (amortizes dispatch;
+    #   25 vs 10 measured 18.6M vs 8M trained steps/s on the tunneled chip)
     shuffle_block: int = 64,  # PPO minibatch shuffle granularity (rl/ppo.py)
 ) -> TrainResult:
     env = AcroEnv(params=DroneParams(att_mode="quat"), randomize=randomize)
@@ -164,7 +165,7 @@ def train_race(
     hidden=(128, 128),
     learning_rate: float = 3e-4,
     print_every: int = 10,
-    scan_chunk: int = 10,
+    scan_chunk: int = 25,
     gate_size: float = 5.0,  # gate curriculum lever: train big -> resume
     #   small (checkpoints carry only net/opt/env state, so a resumed run
     #   can shrink the gates the policy must thread)
@@ -444,7 +445,7 @@ def train_vision_race(
     resume: bool = False,
     learning_rate: float = 3e-4,
     print_every: int = 10,
-    scan_chunk: int = 10,
+    scan_chunk: int = 20,
     num_minibatches: int = 8,
     update_epochs: int = 2,
     gate_size: float = 5.0,
@@ -536,7 +537,7 @@ def train_vision(
     rig=None,
     learning_rate: float = 3e-4,
     print_every: int = 10,
-    scan_chunk: int = 5,
+    scan_chunk: int = 20,
     num_minibatches: int = 8,
     update_epochs: int = 2,
     renderer: str = "raycast",
