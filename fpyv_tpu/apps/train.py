@@ -456,6 +456,7 @@ def train_vision_race(
     ent_coef: float = 0.01,  # pixels give a harder exploration problem
     #   than state obs: at PPO's default 0.001 the policy's entropy
     #   collapses (-3.5 nats) while still at ~1.5 gates/episode
+    gate_onehot: bool = True,  # False = race from pixels + IMU alone
 ) -> TrainResult:
     """Gate racing from PIXELS (BASELINE config #4's "gate/track markers"
     clause): single-drone MultiRaceEnv whose observation is the rendered
@@ -469,7 +470,7 @@ def train_vision_race(
     env = VisionRaceEnv(
         race=MultiRaceEnv(n_agents=1, gate_size=gate_size,
                           max_episode_steps=max_episode_steps),
-        frame_width=frame_width)
+        frame_width=frame_width, gate_onehot=gate_onehot)
     world = env.default_world()
     net = PixelActorCritic(
         action_dim=4, torso=torso,

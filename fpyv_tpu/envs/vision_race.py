@@ -50,6 +50,10 @@ class VisionRaceEnv:
     max_depth: float = 40.0  # the far gates must stay above level 0
     frame_width: float = 0.35
     pixel_dtype: str = "u8"
+    # With False the gate_onehot obs block is zeroed — the policy must
+    # race from the PIXELS + IMU alone (same obs pytree/net shapes, so
+    # the ablation is a data change, not an architecture change).
+    gate_onehot: bool = True
 
     @property
     def params(self) -> DroneParams:
@@ -82,6 +86,8 @@ class VisionRaceEnv:
             pixels = img.astype(jnp.float32) / 255.0
         onehot = jax.nn.one_hot(state.next_gate[..., 0], self.n_gates,
                                 dtype=jnp.float32)
+        if not self.gate_onehot:
+            onehot = jnp.zeros_like(onehot)
         return {
             "pixels": pixels,
             "rates": rates / self.params.max_rates,

@@ -99,3 +99,20 @@ class TestTrainVisionRace:
         assert out["env"] == "vision_race"
         assert np.isfinite(out["mean_reward_per_step"])
         assert "final_gates_passed_mean" in out
+
+
+class TestPurePixels:
+    def test_gate_onehot_off_zeroes_block(self):
+        from fpyv_tpu.envs.multi_race import MultiRaceEnv
+        from fpyv_tpu.envs.vision_race import VisionRaceEnv
+
+        env = VisionRaceEnv(race=MultiRaceEnv(n_agents=1), gate_onehot=False)
+        world = env.default_world()
+        st, obs = env.reset_batched(jax.random.split(jax.random.key(0), 2),
+                                    world)
+        np.testing.assert_allclose(np.asarray(obs["gate_onehot"]), 0.0)
+        # same shapes as the informed variant: pure ablation, no net change
+        env2 = VisionRaceEnv(race=MultiRaceEnv(n_agents=1))
+        _, obs2 = env2.reset_batched(jax.random.split(jax.random.key(0), 2),
+                                     world)
+        assert obs["gate_onehot"].shape == obs2["gate_onehot"].shape
