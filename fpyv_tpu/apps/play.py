@@ -41,6 +41,8 @@ def play_policy(
     n_agents: int = 4,  # race
     randomize_worlds: bool = False,  # vision
     torso: str = "patch",  # vision nets: must match the trained torso
+    gate_onehot: bool = True,  # (vision_race) must match training: False
+    #   evaluates the pure-pixels ablation (the onehot block stays zeroed)
     save_video: Optional[str] = None,
     video_resolution: Tuple[int, int] = (640, 480),
     chunk: int = 120,  # steps per device call
@@ -108,7 +110,7 @@ def play_policy(
     elif env_name == "vision_race":
         from fpyv_tpu.envs.vision_race import VisionRaceEnv
 
-        env = VisionRaceEnv()
+        env = VisionRaceEnv(gate_onehot=gate_onehot)
         world = env.default_world()
         net = PixelActorCritic(action_dim=4, torso=torso)
 

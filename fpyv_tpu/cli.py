@@ -138,7 +138,8 @@ def _cmd_play(args):
         checkpoint_dir=args.checkpoint_dir, env_name=args.env,
         steps=args.steps, num_envs=args.num_envs, seed=args.seed,
         n_agents=args.agents, randomize_worlds=args.randomize,
-        torso=args.torso, save_video=args.save_video, chunk=args.chunk,
+        torso=args.torso, gate_onehot=not args.no_gate_onehot,
+        save_video=args.save_video, chunk=args.chunk,
     )
     print(json.dumps(out))
 
@@ -324,6 +325,9 @@ def main(argv=None):
                     default="acro")
     yp.add_argument("--torso", choices=["patch", "conv"], default="patch",
                     help="(vision/vision_race) must match the trained net")
+    yp.add_argument("--no-gate-onehot", action="store_true",
+                    help="(vision_race) evaluate a pure-pixels checkpoint "
+                         "(the gate_onehot obs block stays zeroed)")
     yp.add_argument("--steps", type=int, default=600)
     yp.add_argument("--num-envs", type=int, default=16)
     yp.add_argument("--agents", type=int, default=4, help="(race)")
