@@ -435,7 +435,9 @@ def train_sac(
 
 
 def train_vision_race(
-    num_envs: int = 1024,
+    num_envs: int = 1024,  # race instances (learner batch = num_envs * A)
+    n_agents: int = 1,  # >1 = multi-agent vision racing: every agent sees
+    #   its own FPV view with the OTHERS rendered as spheres in it
     num_iterations: int = 300,
     num_steps: int = 32,
     seed: int = 0,
@@ -468,14 +470,14 @@ def train_vision_race(
     from fpyv_tpu.models.policy import PixelActorCritic
 
     env = VisionRaceEnv(
-        race=MultiRaceEnv(n_agents=1, gate_size=gate_size,
+        race=MultiRaceEnv(n_agents=n_agents, gate_size=gate_size,
                           max_episode_steps=max_episode_steps),
         frame_width=frame_width, gate_onehot=gate_onehot)
     world = env.default_world()
     net = PixelActorCritic(
         action_dim=4, torso=torso,
         compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None)
-    config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
+    config = PpoConfig(num_envs=num_envs * n_agents, num_steps=num_steps,
                        learning_rate=learning_rate,
                        num_minibatches=num_minibatches,
                        update_epochs=update_epochs, ent_coef=ent_coef)
@@ -517,7 +519,8 @@ def train_vision_race(
         print(f"resumed from checkpoint at iteration {start_iter}")
 
     return _train_loop(
-        state, train_iteration, num_envs=num_envs, num_steps=num_steps,
+        state, train_iteration, num_envs=num_envs * n_agents,
+        num_steps=num_steps,
         num_iterations=num_iterations, start_iter=start_iter,
         scan_chunk=scan_chunk, log_dir=log_dir, print_every=print_every,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,

@@ -60,7 +60,8 @@ def _cmd_train(args):
         if args.algo != "ppo":
             raise SystemExit("--env race --vision runs PPO")
         res = train_vision_race(
-            num_envs=num_envs, num_iterations=args.iterations,
+            num_envs=num_envs, n_agents=args.agents,
+            num_iterations=args.iterations,
             num_steps=args.num_steps, seed=args.seed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             gate_size=args.gate_size,

@@ -54,6 +54,11 @@ class VisionRaceEnv:
     # race from the PIXELS + IMU alone (same obs pytree/net shapes, so
     # the ablation is a data change, not an architecture change).
     gate_onehot: bool = True
+    # Multi-agent (race.n_agents > 1): every agent renders its OWN FPV view
+    # and the OTHER drones appear in it as spheres of this radius — the
+    # sphere centers are per-step traced data (opponent positions), so
+    # visible opponents cost no extra machinery beyond the sphere raycast.
+    opponent_radius: float = 0.3
 
     @property
     def params(self) -> DroneParams:
@@ -69,46 +74,72 @@ class VisionRaceEnv:
     # -- observation ---------------------------------------------------------
 
     def _obs(self, state: MultiRaceState, world: World):
-        # drones fields are (..., A=1, comp); squeeze the agent axis
-        pos = state.drones.pos[..., 0, :]
-        att = state.drones.att[..., 0, :]
-        rates = state.drones.rates[..., 0, :]
-        thrust = state.drones.thrust[..., 0]
-        accel = state.drones.accel[..., 0, :]
-        R = _att_to_rotmat(self.params, att)
+        """Per-AGENT obs dict; every leaf keeps the (..., A, ...) axes."""
+        import numpy as np
+
+        A = self.race.n_agents
+        pos = state.drones.pos  # (..., A, 3)
+        att = state.drones.att
+        R = _att_to_rotmat(self.params, att)  # (..., A, 3, 3)
         cam_pos, cam_R = camera_pose(self.rig, pos, R)
+        rworld = world
+        include = ("gates", "ground")
+        if A > 1:
+            # opponents as spheres at their live positions (static gather
+            # drops self, like multi_race._obs's others block)
+            idx = np.asarray(
+                [[j for j in range(A) if j != i] for i in range(A)], np.int32)
+            others = pos[..., idx, :]  # (..., A, A-1, 3)
+            rworld = world.replace(
+                sphere_center=others,
+                sphere_radius=jnp.full(others.shape[:-1],
+                                       self.opponent_radius, jnp.float32),
+                sphere_active=jnp.ones(others.shape[:-1], bool),
+            )
+            include = ("spheres", "gates", "ground")
         img = render_depth_raycast(
-            self.rig, cam_pos, cam_R, world, max_depth=self.max_depth,
-            include=("gates", "ground"), frame_width=self.frame_width)
+            self.rig, cam_pos, cam_R, rworld, max_depth=self.max_depth,
+            include=include, frame_width=self.frame_width)
         if self.pixel_dtype == "u8":
             pixels = img  # already uint8 levels
         else:
             pixels = img.astype(jnp.float32) / 255.0
-        onehot = jax.nn.one_hot(state.next_gate[..., 0], self.n_gates,
-                                dtype=jnp.float32)
+        onehot = jax.nn.one_hot(state.next_gate, self.n_gates,
+                                dtype=jnp.float32)  # (..., A, G)
         if not self.gate_onehot:
             onehot = jnp.zeros_like(onehot)
         return {
             "pixels": pixels,
-            "rates": rates / self.params.max_rates,
-            "accel_z": accel[..., 2:3] / 30.0,
-            "thrust": thrust[..., None] / self.params.thrust_curve.max_force,
+            "rates": state.drones.rates / self.params.max_rates,
+            "accel_z": state.drones.accel[..., 2:3] / 30.0,
+            "thrust": state.drones.thrust[..., None]
+            / self.params.thrust_curve.max_force,
             "gate_onehot": onehot,
         }
 
-    # -- batched API (the trainer entry points) ------------------------------
+    # -- batched API (the trainer entry points). The learner sees a FLAT
+    # (n_races * A) agent batch (shared policy, like
+    # multi_race.make_shared_policy_env_step); A == 1 reduces to the
+    # original single-agent shapes.
+
+    def _flat(self, obs):
+        return jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), obs)
 
     def reset_batched(self, keys, world: World):
         state, _ = jax.vmap(lambda k: self.race.reset(k, world))(keys)
-        return state, self._obs(state, world)
+        return state, self._flat(self._obs(state, world))
 
     def step_batched(self, state: MultiRaceState, action, world: World):
-        """action (N, 4) -> the single agent's action."""
+        """action (n_races * A, 4) flat over agents."""
+        A = self.race.n_agents
         st, _, reward, done, info = jax.vmap(
             lambda s, a: self.race.step(s, a, world))(
-                state, action[:, None, :])
-        obs = self._obs(st, world)
+                state, action.reshape(-1, A, action.shape[-1]))
+        obs = self._flat(self._obs(st, world))
+        # per-agent termination: own crash OR the whole-race reset
+        # (bootstrapping across the respawn would corrupt GAE)
         info = dict(info,
-                    gates_passed=info["gates_passed"][..., 0],
-                    crashed=info["crashed"][..., 0])
-        return st, obs, reward[..., 0], done, info
+                    gates_passed=info["gates_passed"].reshape(-1),
+                    crashed=(info["crashed"] | done[:, None]).reshape(-1))
+        return st, obs, reward.reshape(-1), done, info

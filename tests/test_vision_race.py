@@ -116,3 +116,52 @@ class TestPurePixels:
         _, obs2 = env2.reset_batched(jax.random.split(jax.random.key(0), 2),
                                      world)
         assert obs["gate_onehot"].shape == obs2["gate_onehot"].shape
+
+
+class TestMultiAgentVision:
+    """Multi-agent vision racing: per-agent FPV views with the OTHER
+    drones rendered as spheres at their live positions."""
+
+    def _env(self, **kw):
+        from fpyv_tpu.envs.multi_race import MultiRaceEnv
+
+        return VisionRaceEnv(race=MultiRaceEnv(n_agents=2), **kw)
+
+    def test_flat_shapes(self):
+        env = self._env()
+        world = env.default_world()
+        st, obs = env.reset_batched(jax.random.split(jax.random.key(0), 3),
+                                    world)
+        assert obs["pixels"].shape == (6, 72, 96)  # 3 races x 2 agents
+        assert obs["gate_onehot"].shape == (6, env.n_gates)
+        a = jnp.zeros((6, 4), jnp.float32)
+        st2, obs2, r, d, info = env.step_batched(st, a, world)
+        assert r.shape == (6,)
+        assert info["crashed"].shape == (6,)
+        assert d.shape == (3,)  # env-level done stays per race
+
+    def test_opponent_visible_in_fpv(self):
+        env = self._env()
+        world = env.default_world()
+        st, _ = env.reset_batched(jax.random.split(jax.random.key(0), 1),
+                                  world)
+        p0 = np.asarray(st.drones.pos)[0, 0]
+        # opponent 2.5 m ahead (+y, the spawn heading) of agent 0, just
+        # under its camera height so the 35-deg-down rig centers it
+        newpos = jnp.asarray([[[p0[0], p0[1], 3.0],
+                               [p0[0], p0[1] + 2.5, 2.5]]], jnp.float32)
+        st = st.replace(drones=st.drones.replace(pos=newpos))
+        obs = env._obs(st, world)
+        ghost = self._env(opponent_radius=1e-6)  # same scene, no opponent
+        obs_g = ghost._obs(st, world)
+        delta = np.abs(np.asarray(obs["pixels"], np.int32)
+                       - np.asarray(obs_g["pixels"], np.int32))
+        assert (delta[0, 0] > 0).sum() > 3  # agent 0 sees the opponent
+
+    def test_trainer_smoke(self):
+        from fpyv_tpu.apps.train import train_vision_race
+
+        res = train_vision_race(num_envs=4, n_agents=2, num_iterations=4,
+                                num_steps=4, scan_chunk=2, num_minibatches=2,
+                                compute_dtype="f32", print_every=100)
+        assert np.isfinite(res.mean_reward_last)
