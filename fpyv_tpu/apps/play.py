@@ -24,6 +24,22 @@ from fpyv_tpu.models.policy import ActorCritic, PixelActorCritic
 from fpyv_tpu.utils.checkpoint import restore_checkpoint
 
 
+def _detect_torso(params, fallback: str = "patch") -> str:
+    """Infer the trained image torso from the checkpoint's param tree
+    (PixelActorCritic names: 'patch_embed' for patch, 'conv0' for conv).
+    Non-vision param trees just return the fallback (never consulted)."""
+    inner = params.get("params", params) if hasattr(params, "get") else params
+    try:
+        keys = set(inner.keys())
+    except AttributeError:
+        return fallback
+    if "patch_embed" in keys:
+        return "patch"
+    if "conv0" in keys:
+        return "conv"
+    return fallback
+
+
 def _video_rig(resolution: Tuple[int, int]):
     from fpyv_tpu.vision.camera import CameraRig
 
@@ -40,9 +56,13 @@ def play_policy(
     hidden=(128, 128),  # must match the training net (acro/race)
     n_agents: int = 4,  # race
     randomize_worlds: bool = False,  # vision
-    torso: str = "patch",  # vision nets: must match the trained torso
+    torso: Optional[str] = None,  # vision nets: None = detect from the
+    #   checkpoint's param tree (patch_embed vs conv0 keys — ADVICE r3: a
+    #   wrong torso surfaced only as an orbax shape-mismatch error)
     gate_onehot: bool = True,  # (vision_race) must match training: False
     #   evaluates the pure-pixels ablation (the onehot block stays zeroed)
+    frame_stack: int = 1,  # (vision_race) must match training
+    show_opponents: bool = True,  # (vision_race) in-frame opponent ablation
     save_video: Optional[str] = None,
     video_resolution: Tuple[int, int] = (640, 480),
     chunk: int = 120,  # steps per device call
@@ -52,6 +72,8 @@ def play_policy(
     if params is None:
         raw = restore_checkpoint(checkpoint_dir, step_checkpoint)
         params = raw["params"]  # PpoState field (no shape template needed)
+    if torso is None:
+        torso = _detect_torso(params)
 
     key = jax.random.key(seed)
     k_env, k_world = jax.random.split(key)
@@ -108,9 +130,14 @@ def play_policy(
                     jax.tree.map(lambda x: x[0], worlds))
 
     elif env_name == "vision_race":
+        from fpyv_tpu.envs.multi_race import MultiRaceEnv
         from fpyv_tpu.envs.vision_race import VisionRaceEnv
 
-        env = VisionRaceEnv(gate_onehot=gate_onehot)
+        A = n_agents if n_agents else 1
+        env = VisionRaceEnv(
+            race=MultiRaceEnv(n_agents=A, max_episode_steps=2000),
+            gate_onehot=gate_onehot, frame_stack=frame_stack,
+            show_opponents=show_opponents)
         world = env.default_world()
         net = PixelActorCritic(action_dim=4, torso=torso)
 
@@ -125,11 +152,16 @@ def play_policy(
         def step_fn(st, obs):
             mean, _, _ = net.apply(params, obs["pixels"], _vr_proprio(obs))
             st, obs, r, d, info = env.step_batched(st, mean, world)
-            return st, obs, r, info["crashed"], {
-                "gates_passed": info["gates_passed"]}
+            extra = {"gates_passed": info["gates_passed"]}
+            if A > 1:  # per-agent eval table counters (VERDICT r3 #4)
+                extra["agent_gates"] = info["gates_passed"].reshape(-1, A)
+                extra["sum_contact_events"] = info["contact"]
+                extra["sum_overtakes"] = info["overtakes"]
+            return st, obs, r, info["crashed"], extra
 
         def frame_state(st):
-            return jax.tree.map(lambda x: x[0, 0], st.drones), world
+            rs = getattr(st, "race", st)
+            return jax.tree.map(lambda x: x[0, 0], rs.drones), world
 
     elif env_name == "race":
         from fpyv_tpu.envs.multi_race import MultiRaceEnv
@@ -148,7 +180,10 @@ def play_policy(
                 lambda s, a: env.step(s, a, world))(
                     st, mean.reshape(num_envs, A, -1))
             return (st, obs, r.mean(axis=-1), info["crashed"].any(axis=-1),
-                    {"gates_passed": info["gates_passed"].sum(axis=-1)})
+                    {"gates_passed": info["gates_passed"].sum(axis=-1),
+                     "agent_gates": info["gates_passed"],
+                     "sum_contact_events": info["contact"],
+                     "sum_overtakes": info["overtakes"]})
 
         def frame_state(st):
             # follow agent 0 of race 0
@@ -205,7 +240,11 @@ def play_policy(
             total_r += float(np.sum(r)) / num_envs
             crash_events += int(np.sum(crashed))
             for k, v in outs[2].items():
-                extra_sums[k] = v[-1]  # running counters: keep the last
+                if k.startswith("sum_"):  # per-step event counters
+                    extra_sums[k] = extra_sums.get(k, 0) + np.sum(
+                        np.asarray(v, np.int64), axis=tuple(range(v.ndim - 1)))
+                else:
+                    extra_sums[k] = v[-1]  # running counters: keep the last
             if sink is not None:
                 frames, poss, vels = outs[3]
                 for i in range(chunk):
@@ -226,7 +265,15 @@ def play_policy(
         "crash_events": crash_events,
     }
     for k, v in extra_sums.items():
-        out[f"final_{k}_mean"] = float(np.mean(v))
+        if k == "agent_gates":
+            # the per-agent deterministic eval table: mean gates per agent
+            # slot (across races) at episode end + each event counter below
+            out["agent_gates_mean"] = np.mean(np.asarray(v, np.float64),
+                                              axis=0).tolist()
+        elif k.startswith("sum_"):
+            out[k[4:]] = np.asarray(v, np.int64).tolist()
+        else:
+            out[f"final_{k}_mean"] = float(np.mean(v))
     if sink is not None:
         out["video"] = sink.path
         out["video_frames"] = sink.frames_written

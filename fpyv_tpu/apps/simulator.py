@@ -117,8 +117,14 @@ def run_simulator(
     def sim_step_virtual(state, gs, world, action, pixel):
         """One step steered at a user-supplied pixel: the reference's
         mouse-target path (target_pixels = [ix, iy], simulator.py:131)
-        replaces the rendered centroid; guidance runs unconditionally."""
+        replaces the rendered centroid.  Guidance needs a range to the
+        chased target, so the mode requires a world WITH targets (guarded
+        in run_simulator) and — like the centroid path — only overrides
+        when guidance is enabled."""
         world = update_targets(world)
+        if not (guided and spec.targets):  # respect the guided flag
+            state, _ = drone_step(params, state, action, world, wind)
+            return state, gs, world
         R = _att_to_rotmat(params, state.att)
         cam_pos, cam_R = camera_pose(rig, state.pos, R)
         dist = (jnp.linalg.norm(world.sphere_center[target_idx] - state.pos)
@@ -156,6 +162,12 @@ def run_simulator(
 
     vt = None
     if virtual_target:
+        if not spec.targets:
+            # the guidance law keeps distance to the chased target; with no
+            # targets the range gather would silently read a clamped index
+            # of an empty array under jit (ADVICE r3)
+            raise ValueError("virtual_target requires a world with targets "
+                             "(simulator.targets in params.yaml)")
         from fpyv_tpu.inputs.mouse import VirtualTarget
 
         vt = VirtualTarget(rig.resolution)

@@ -158,6 +158,10 @@ def train_race(
     num_iterations: int = 300,
     num_steps: int = 32,
     seed: int = 0,
+    distributed: bool = False,  # BASELINE config #5's "sharded across >=2
+    #   hosts": race bank P('env') over the mesh (whole races stay on one
+    #   device — the flat agent batch is race-major, so contiguous shards
+    #   align), params replicated, grads pmean over ICI/DCN
     log_dir: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 100,
@@ -170,6 +174,11 @@ def train_race(
     #   small (checkpoints carry only net/opt/env state, so a resumed run
     #   can shrink the gates the policy must thread)
     max_episode_steps: int = 2000,  # laps-per-episode ceiling
+    agent_collision_radius: float = 0.35,  # curriculum lever like
+    #   gate_size: train with contact off (0) -> resume at the standard
+    #   radius (VERDICT r3 #4: collision pressure destabilizes late training)
+    w_overtake: float = 0.0,  # opponent-conditioned reward (multi_race)
+    others_in_obs: bool = True,  # False = opponent-relpos ablation
 ) -> TrainResult:
     """Shared-policy PPO on the multi-agent race env (BASELINE config #5).
 
@@ -184,7 +193,9 @@ def train_race(
         MultiRaceEnv, make_shared_policy_env_step)
 
     env = MultiRaceEnv(n_agents=n_agents, gate_size=gate_size,
-                       max_episode_steps=max_episode_steps)
+                       max_episode_steps=max_episode_steps,
+                       agent_collision_radius=agent_collision_radius,
+                       w_overtake=w_overtake, others_in_obs=others_in_obs)
     world = env.default_world()
     env_step, reset_fn = make_shared_policy_env_step(env, world, n_envs=num_envs)
     net = ActorCritic(action_dim=4, hidden=tuple(hidden))
@@ -205,9 +216,25 @@ def train_race(
     k_env, k_net, k_train = jax.random.split(key, 3)
     env_state, obs = reset_fn(k_env)
     params = net.init(k_net, obs[:1])
-    init, train_iteration = make_ppo(net.apply, env_step, config,
-                                     metrics_fn=race_metrics)
-    state = init(params, env_state, obs, k_train)
+
+    if distributed:
+        from fpyv_tpu.parallel.mesh import make_mesh
+        from fpyv_tpu.parallel.train import (make_distributed_ppo,
+                                             shard_ppo_state)
+
+        mesh = make_mesh()
+        if num_envs % mesh.size:
+            raise ValueError(f"num_envs={num_envs} must divide the mesh "
+                             f"size {mesh.size} (whole races per shard)")
+        init, train_iteration = make_distributed_ppo(
+            net.apply, env_step, config, mesh, metrics_fn=race_metrics)
+        state = init(params, env_state, obs,
+                     jax.random.split(k_train, mesh.size))
+        state = shard_ppo_state(state, mesh)
+    else:
+        init, train_iteration = make_ppo(net.apply, env_step, config,
+                                         metrics_fn=race_metrics)
+        state = init(params, env_state, obs, k_train)
 
     start_iter = 0
     if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
@@ -382,7 +409,12 @@ def train_sac(
     def env_step(env_state, action, key):
         st, obs, reward, done, info = jax.vmap(
             lambda s, a: env.step(s, a, world))(env_state, action)
-        return st, obs, reward, info["crashed"]  # bootstrap at time limits
+        # done = terminations only (bootstrap at time limits); the replay
+        # stores the PRE-reset successor at truncations so the Q target
+        # bootstraps from the true next state, not the respawn (ADVICE r3)
+        store_obs = jnp.where(info["truncated"][..., None],
+                              info["final_obs"], obs)
+        return st, obs, reward, info["crashed"], store_obs
 
     key = jax.random.key(seed)
     k_env, k_a, k_c, k_train = jax.random.split(key, 4)
@@ -441,6 +473,8 @@ def train_vision_race(
     num_iterations: int = 300,
     num_steps: int = 32,
     seed: int = 0,
+    distributed: bool = False,  # race bank + pixel-obs pytree P('env') over
+    #   the mesh; same layout notes as train_race (whole races per shard)
     log_dir: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 100,
@@ -459,6 +493,11 @@ def train_vision_race(
     #   than state obs: at PPO's default 0.001 the policy's entropy
     #   collapses (-3.5 nats) while still at ~1.5 gates/episode
     gate_onehot: bool = True,  # False = race from pixels + IMU alone
+    frame_stack: int = 1,  # stack the last K depth frames as the pixel obs
+    #   (temporal memory for the pure-pixels racer, VERDICT r3 #3)
+    agent_collision_radius: float = 0.35,  # collision curriculum lever
+    w_overtake: float = 0.0,  # opponent-conditioned reward term
+    show_opponents: bool = True,  # False = in-frame opponent ablation
 ) -> TrainResult:
     """Gate racing from PIXELS (BASELINE config #4's "gate/track markers"
     clause): single-drone MultiRaceEnv whose observation is the rendered
@@ -471,8 +510,11 @@ def train_vision_race(
 
     env = VisionRaceEnv(
         race=MultiRaceEnv(n_agents=n_agents, gate_size=gate_size,
-                          max_episode_steps=max_episode_steps),
-        frame_width=frame_width, gate_onehot=gate_onehot)
+                          max_episode_steps=max_episode_steps,
+                          agent_collision_radius=agent_collision_radius,
+                          w_overtake=w_overtake),
+        frame_width=frame_width, gate_onehot=gate_onehot,
+        frame_stack=frame_stack, show_opponents=show_opponents)
     world = env.default_world()
     net = PixelActorCritic(
         action_dim=4, torso=torso,
@@ -496,8 +538,9 @@ def train_vision_race(
         return st, obs, reward, info["crashed"]
 
     def race_metrics(env_state):
-        gates = env_state.gates_passed.astype(jnp.float32)
-        t = jnp.maximum(env_state.t, 1).astype(jnp.float32)[..., None]
+        rs = getattr(env_state, "race", env_state)  # frame-stacked carry
+        gates = rs.gates_passed.astype(jnp.float32)
+        t = jnp.maximum(rs.t, 1).astype(jnp.float32)[..., None]
         return {
             "mean_gates_passed": gates.mean(),
             "gates_per_100_steps": (gates / t).mean() * 100.0,
@@ -508,9 +551,24 @@ def train_vision_race(
     env_state, obs = env.reset_batched(jax.random.split(k_env, num_envs),
                                        world)
     params = net.init(k_net, obs["pixels"][:1], proprio(obs)[:1])
-    init, train_iteration = make_ppo(apply_fn, env_step, config,
-                                     metrics_fn=race_metrics)
-    state = init(params, env_state, obs, k_train)
+    if distributed:
+        from fpyv_tpu.parallel.mesh import make_mesh
+        from fpyv_tpu.parallel.train import (make_distributed_ppo,
+                                             shard_ppo_state)
+
+        mesh = make_mesh()
+        if num_envs % mesh.size:
+            raise ValueError(f"num_envs={num_envs} must divide the mesh "
+                             f"size {mesh.size} (whole races per shard)")
+        init, train_iteration = make_distributed_ppo(
+            apply_fn, env_step, config, mesh, metrics_fn=race_metrics)
+        state = init(params, env_state, obs,
+                     jax.random.split(k_train, mesh.size))
+        state = shard_ppo_state(state, mesh)
+    else:
+        init, train_iteration = make_ppo(apply_fn, env_step, config,
+                                         metrics_fn=race_metrics)
+        state = init(params, env_state, obs, k_train)
 
     start_iter = 0
     if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
@@ -627,6 +685,7 @@ def train_vision(
                       jnp.concatenate([obs["rates"][:1], obs["accel_z"][:1],
                                        obs["thrust"][:1]], axis=-1))
 
+    mesh = None
     if distributed:
         # same layout as train_acro's distributed path: env bank (and the
         # per-env worlds riding the carry) sharded P('env'), params
@@ -634,10 +693,6 @@ def train_vision(
         # accel_z, thrust}) and the (env_state, worlds) carry shard by
         # pytree-prefix specs — BASELINE config #4's "sharded across hosts"
         # clause for the pixel-observation trainer.
-        if curriculum_iters:
-            raise ValueError("curriculum_iters is not supported with "
-                             "distributed=True (the resample hook would "
-                             "need resharding between chunks)")
         from fpyv_tpu.parallel.mesh import make_mesh
         from fpyv_tpu.parallel.train import (make_distributed_ppo,
                                              shard_ppo_state)
@@ -664,6 +719,16 @@ def train_vision(
             d = min(1.0, it / curriculum_iters)
             new_worlds = jit_curriculum(jax.random.fold_in(k_world, it),
                                         jnp.float32(d))
+            if mesh is not None:
+                # resample composes with distributed (VERDICT r3 #5): the
+                # freshly built worlds re-place onto the carry's env-axis
+                # sharding before riding into the next sharded chunk
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from fpyv_tpu.parallel.mesh import ENV_AXIS
+
+                new_worlds = jax.device_put(
+                    new_worlds, NamedSharding(mesh, P(ENV_AXIS)))
             env_state, _ = state.env_state
             return state.replace(env_state=(env_state, new_worlds))
 

@@ -60,12 +60,19 @@ def _cmd_train(args):
         if args.algo != "ppo":
             raise SystemExit("--env race --vision runs PPO")
         res = train_vision_race(
-            num_envs=num_envs, n_agents=args.agents,
+            num_envs=num_envs,
+            n_agents=args.agents if args.agents is not None else 1,
+            distributed=args.distributed,
             num_iterations=args.iterations,
             num_steps=args.num_steps, seed=args.seed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             gate_size=args.gate_size,
             max_episode_steps=args.max_episode_steps, torso=args.torso,
+            gate_onehot=not args.no_gate_onehot,
+            frame_stack=args.frame_stack,
+            agent_collision_radius=args.collision_radius,
+            w_overtake=args.w_overtake,
+            show_opponents=not args.no_show_opponents,
             **({"update_epochs": args.update_epochs}
                if args.update_epochs else {}),
             **({"ent_coef": args.ent_coef}
@@ -76,12 +83,17 @@ def _cmd_train(args):
             raise SystemExit("--env race runs shared-policy PPO "
                              "(no --algo es|sac)")
         res = train_race(
-            num_envs=num_envs, n_agents=args.agents,
+            num_envs=num_envs,
+            n_agents=args.agents if args.agents is not None else 4,
+            distributed=args.distributed,
             num_iterations=args.iterations, num_steps=args.num_steps,
             seed=args.seed, log_dir=args.log_dir,
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             gate_size=args.gate_size,
             max_episode_steps=args.max_episode_steps,
+            agent_collision_radius=args.collision_radius,
+            w_overtake=args.w_overtake,
+            others_in_obs=not args.no_others_obs,
         )
     elif args.algo == "es":
         res = train_es(
@@ -135,11 +147,15 @@ def _cmd_train(args):
 def _cmd_play(args):
     from fpyv_tpu.apps.play import play_policy
 
+    agents = args.agents if args.agents is not None else (
+        4 if args.env == "race" else 1)
     out = play_policy(
         checkpoint_dir=args.checkpoint_dir, env_name=args.env,
         steps=args.steps, num_envs=args.num_envs, seed=args.seed,
-        n_agents=args.agents, randomize_worlds=args.randomize,
+        n_agents=agents, randomize_worlds=args.randomize,
         torso=args.torso, gate_onehot=not args.no_gate_onehot,
+        frame_stack=args.frame_stack,
+        show_opponents=not args.no_show_opponents,
         save_video=args.save_video, chunk=args.chunk,
     )
     print(json.dumps(out))
@@ -203,6 +219,26 @@ def _cmd_parity(args):
     }))
 
 
+def _cmd_calibrate(args):
+    """Joystick calibration wizard + live view — the runnable twin of the
+    reference's get_sticks.py __main__ (calibrate, then live read loop,
+    /root/reference/src/utils/get_sticks.py:268-283)."""
+    from fpyv_tpu.inputs.rc import Joystick
+
+    rc = Joystick(index=args.index)
+    if not rc.status:
+        raise SystemExit("no joystick device found (/dev/input/js*)")
+    rc.calibrate(args.calibration, load_calibration_file=not args.wizard)
+    out = {"calibration": args.calibration, "sticks": rc.sticks,
+           "switches": rc.switches}
+    if args.live > 0:
+        # live bars/axes view, display-gated (headless hosts just read)
+        rc.live_view(t_sec=args.live, rps=args.rps, mode=args.view)
+        out["live_seconds"] = args.live
+    out["action"] = [float(x) for x in rc.read_action()]
+    print(json.dumps(out))
+
+
 def _cmd_hover_time(args):
     from fpyv_tpu.io.motor_csv import read_motor_test_report
     from fpyv_tpu.physics.motor import Battery, check_battery_cells, max_hover_time
@@ -264,13 +300,34 @@ def main(argv=None):
                     default="acro",
                     help="task: acro chase (default), attitude rotate (es), "
                          "or the multi-agent gate race (shared-policy PPO)")
-    tp.add_argument("--agents", type=int, default=4,
-                    help="(race) drones per race instance")
+    tp.add_argument("--agents", type=int, default=None,
+                    help="(race) drones per race instance (default 4; the "
+                         "pixels racer --env race --vision defaults to 1 — "
+                         "multi-agent FPV costs one render per agent)")
     tp.add_argument("--gate-size", type=float, default=5.0,
                     help="(race) gate size (m) — big gates for curriculum "
                          "phase 1, resume smaller")
     tp.add_argument("--max-episode-steps", type=int, default=2000,
                     help="(race) episode horizon (laps-per-episode ceiling)")
+    tp.add_argument("--collision-radius", type=float, default=0.35,
+                    help="(race) inter-agent contact radius (m); 0 disables "
+                         "collisions — the collision-curriculum lever "
+                         "(train at 0, resume at 0.35)")
+    tp.add_argument("--w-overtake", type=float, default=0.0,
+                    help="(race) reward per race position gained (zero-sum "
+                         "opponent-conditioned shaping)")
+    tp.add_argument("--no-others-obs", action="store_true",
+                    help="(race, state obs) zero the opponent-relpos obs "
+                         "block (ablation)")
+    tp.add_argument("--no-show-opponents", action="store_true",
+                    help="(race --vision) do not render opponents in the "
+                         "FPV frame (ablation)")
+    tp.add_argument("--no-gate-onehot", action="store_true",
+                    help="(race --vision) train from pixels + IMU alone "
+                         "(the next-gate onehot block stays zeroed)")
+    tp.add_argument("--frame-stack", type=int, default=1,
+                    help="(race --vision) stack the last K depth frames as "
+                         "the pixel obs (temporal memory)")
     tp.add_argument("--population", type=int, default=256,
                     help="(es) candidates per generation (antithetic pairs)")
     tp.add_argument("--noise-std", type=float, default=0.05,
@@ -324,14 +381,21 @@ def main(argv=None):
     yp.add_argument("--env", choices=["acro", "vision", "race",
                                       "vision_race"],
                     default="acro")
-    yp.add_argument("--torso", choices=["patch", "conv"], default="patch",
-                    help="(vision/vision_race) must match the trained net")
+    yp.add_argument("--torso", choices=["patch", "conv"], default=None,
+                    help="(vision/vision_race) image torso (default: "
+                         "detected from the checkpoint's param tree)")
     yp.add_argument("--no-gate-onehot", action="store_true",
                     help="(vision_race) evaluate a pure-pixels checkpoint "
                          "(the gate_onehot obs block stays zeroed)")
     yp.add_argument("--steps", type=int, default=600)
     yp.add_argument("--num-envs", type=int, default=16)
-    yp.add_argument("--agents", type=int, default=4, help="(race)")
+    yp.add_argument("--agents", type=int, default=None,
+                    help="(race/vision_race) drones per race "
+                         "(default 4 race / 1 vision_race)")
+    yp.add_argument("--frame-stack", type=int, default=1,
+                    help="(vision_race) must match the trained net")
+    yp.add_argument("--no-show-opponents", action="store_true",
+                    help="(vision_race) evaluate without in-frame opponents")
     yp.add_argument("--randomize", action="store_true",
                     help="(vision) evaluate on randomized worlds")
     yp.add_argument("--save-video", default=None, metavar="PATH")
@@ -348,6 +412,21 @@ def main(argv=None):
     pp.add_argument("--steps", type=int, default=300)
     pp.add_argument("--seed", type=int, default=42)
     pp.set_defaults(fn=_cmd_parity)
+
+    cp = sub.add_parser("calibrate",
+                        help="joystick calibration wizard / live view")
+    cp.add_argument("--calibration", default="calibration.json",
+                    help="calibration JSON path (frsky.json schema)")
+    cp.add_argument("--wizard", action="store_true",
+                    help="run the interactive wizard (records stick sweeps) "
+                         "instead of loading the file")
+    cp.add_argument("--index", type=int, default=0, help="joystick device #")
+    cp.add_argument("--live", type=float, default=0.0, metavar="SECONDS",
+                    help="after calibrating, run the live view this long")
+    cp.add_argument("--view", choices=["axes", "bars"], default="axes",
+                    help="live view mode: calibrated stick axes or raw bars")
+    cp.add_argument("--rps", type=int, default=20, help="live reads/second")
+    cp.set_defaults(fn=_cmd_calibrate)
 
     hp = sub.add_parser("hover-time", help="max hover time from a motor CSV")
     hp.add_argument("--csv", required=True)

@@ -221,6 +221,11 @@ class AcroEnv:
             "dist_to_target": dist,
             "episode_return": ep_ret,
             "imu": imu,
+            # the PRE-reset successor observation: off-policy learners must
+            # bootstrap time-limit truncations from the TRUE next state, not
+            # the respawn the auto-reset hands back (rl/sac.py); unused
+            # consumers lose it to DCE
+            "final_obs": self._obs(live_state, world),
         }
         return next_state, self._obs(next_state, world), reward, done, info
 

@@ -46,6 +46,7 @@ class MultiRaceState:
     prev_gate_dist: jnp.ndarray  # (..., A) signed plane distance to next gate
     prev_center_dist: jnp.ndarray  # (..., A) distance to next gate CENTER
     gates_passed: jnp.ndarray  # (..., A) int32 total
+    prev_rank: jnp.ndarray  # (..., A) int32 race position (0 = leader)
     t: jnp.ndarray  # (...,) int32
     key: jnp.ndarray
     episode_return: jnp.ndarray  # (..., A)
@@ -68,6 +69,15 @@ class MultiRaceEnv:
     w_progress: float = 1.0
     w_alive: float = 0.005
     w_crash: float = 10.0
+    # opponent-conditioned reward (VERDICT r3 #6): per step each agent earns
+    # w_overtake * (positions gained) — signed, so the term is zero-sum
+    # across the race (pure competition shaping; gate passage remains the
+    # only renewable absolute reward source). 0 disables.
+    w_overtake: float = 0.0
+    # Ablation switch: False zeroes the others-relpos obs block (shapes
+    # unchanged, like vision_race.gate_onehot) — measures whether the
+    # policy reads its opponents at all.
+    others_in_obs: bool = True
     dtype: type = jnp.float32
 
     # ---- track ------------------------------------------------------------
@@ -107,6 +117,14 @@ class MultiRaceEnv:
             rel - plane_d[..., None] * normal, axis=-1)
         return plane_d, lateral, gp - pos
 
+    def _rank(self, gates_passed, center_dist):
+        """Race position per agent, 0 = leader: ordered by gates passed,
+        ties broken by distance to the next gate center (the same bounded
+        progress measure the reward shaping uses)."""
+        score = gates_passed.astype(self.dtype) * 1e3 - center_dist
+        return jnp.sum(
+            score[..., None] < score[..., None, :], axis=-1).astype(jnp.int32)
+
     def _obs(self, state: MultiRaceState, world: World):
         d = state.drones
         att_flat = d.att  # quat (A, 4) (or rotmat flattened below)
@@ -125,6 +143,8 @@ class MultiRaceEnv:
             [[j for j in range(A) if j != i] for i in range(A)], np.int32)
         others = rel_all[..., np.arange(A)[:, None], idx, :].reshape(
             rel_all.shape[:-3] + (A, (A - 1) * 3))
+        if not self.others_in_obs:
+            others = jnp.zeros_like(others)
         return jnp.concatenate(
             [
                 d.pos, d.vel, att_flat,
@@ -166,10 +186,13 @@ class MultiRaceEnv:
         drones = self._sample_drones(kd)
         next_gate = jnp.zeros((self.n_agents,), jnp.int32)
         plane_d, _, to_gate = self._gate_info(world, next_gate, drones.pos)
+        gates0 = jnp.zeros((self.n_agents,), jnp.int32)
+        center_d0 = jnp.linalg.norm(to_gate, axis=-1)
         state = MultiRaceState(
             drones=drones, next_gate=next_gate, prev_gate_dist=plane_d,
-            prev_center_dist=jnp.linalg.norm(to_gate, axis=-1),
-            gates_passed=jnp.zeros((self.n_agents,), jnp.int32),
+            prev_center_dist=center_d0,
+            gates_passed=gates0,
+            prev_rank=self._rank(gates0, center_d0),
             t=jnp.zeros((), jnp.int32), key=key,
             episode_return=jnp.zeros((self.n_agents,), self.dtype),
         )
@@ -220,11 +243,16 @@ class MultiRaceEnv:
         center_d = jnp.linalg.norm(to_gate, axis=-1)
         progress = jnp.where(
             passed, 0.0, state.prev_center_dist - center_d)
+        # race position change: overtakes earn, being overtaken costs
+        # (zero-sum across agents; w_overtake = 0 disables)
+        rank = self._rank(gates_passed, center_d_new)
+        positions_gained = (state.prev_rank - rank).astype(self.dtype)
         reward = (
             self.w_gate * passed.astype(self.dtype)
             + self.w_progress * progress.astype(self.dtype)
             + self.w_alive * (~crashed).astype(self.dtype)
             - self.w_crash * newly_crashed.astype(self.dtype)
+            + self.w_overtake * positions_gained
         )
 
         t = state.t + 1
@@ -234,7 +262,7 @@ class MultiRaceEnv:
         next_state = MultiRaceState(
             drones=drones, next_gate=next_gate, prev_gate_dist=plane_d_new,
             prev_center_dist=center_d_new,
-            gates_passed=gates_passed, t=t, key=state.key,
+            gates_passed=gates_passed, prev_rank=rank, t=t, key=state.key,
             episode_return=ep_ret,
         )
 
@@ -247,6 +275,12 @@ class MultiRaceEnv:
         info = {
             "gates_passed": gates_passed,
             "crashed": crashed,
+            # inter-agent contact TRANSITIONS (collision events) and
+            # positions gained this step — the per-agent eval counters the
+            # multi-agent table reports (apps/play.py)
+            "contact": contact & ~state.drones.done,
+            "overtakes": jnp.maximum(
+                state.prev_rank - rank, 0).astype(jnp.int32),
             "episode_return": ep_ret,
         }
         return next_state, self._obs(next_state, world), reward, env_done, info
@@ -271,13 +305,18 @@ def make_shared_policy_env_step(env: MultiRaceEnv, world: Optional[World] = None
         return state, obs.reshape(n_envs * A, -1)
 
     def env_step(env_state, action, key):
-        actions = action.reshape(n_envs, A, -1)
+        # shape-agnostic over the race count: under a sharded mesh each
+        # device runs this on its LOCAL slice of the race bank (the flat
+        # agent batch is race-major, so contiguous env-axis shards stay
+        # aligned with whole races)
+        actions = action.reshape(-1, A, action.shape[-1])
         st, obs, reward, done, info = jax.vmap(
             lambda s, a: env.step(s, a, world))(env_state, actions)
         # termination per agent: its own crash (absorbing state — value
         # bootstraps to 0 there) OR the whole-env reset (obs jumps to the
         # respawn; bootstrapping across it would corrupt GAE)
         done_flat = (info["crashed"] | done[:, None]).reshape(-1)
-        return st, obs.reshape(n_envs * A, -1), reward.reshape(-1), done_flat
+        return (st, obs.reshape(obs.shape[0] * A, -1), reward.reshape(-1),
+                done_flat)
 
     return env_step, reset_fn

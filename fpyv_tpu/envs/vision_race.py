@@ -23,10 +23,11 @@ ambiguous on a rotationally symmetric track).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from fpyv_tpu.envs.multi_race import MultiRaceEnv, MultiRaceState
 from fpyv_tpu.physics.drone import DroneParams, _att_to_rotmat
@@ -38,6 +39,21 @@ from fpyv_tpu.vision.raycast import render_depth_raycast
 def default_race_rig() -> CameraRig:
     return CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
                      fov_deg=120.0, resolution=(96, 72))
+
+
+@struct.dataclass
+class VisionRaceState:
+    """Race state + the frame-stack history (``frame_stack > 1`` only).
+
+    ``frames`` holds the K-1 PREVIOUS depth frames per agent (newest last);
+    the observation stacks them under the frame just rendered, giving the
+    policy ego-motion cues one frame cannot carry (VERDICT r3 #3: the
+    pixels-only racer needs temporal memory on a rotationally symmetric
+    track). With frame_stack == 1 the env keeps the bare MultiRaceState —
+    single-frame checkpoints and callers are untouched."""
+
+    race: MultiRaceState
+    frames: jnp.ndarray  # (n_races, A, K-1, H, W)
 
 
 @dataclass(frozen=True)
@@ -59,6 +75,13 @@ class VisionRaceEnv:
     # sphere centers are per-step traced data (opponent positions), so
     # visible opponents cost no extra machinery beyond the sphere raycast.
     opponent_radius: float = 0.3
+    # Ablation switch (VERDICT r3 #6): False removes the opponents from the
+    # rendered frame (the track still shows) — does SEEING the others change
+    # behavior, or only colliding with them?
+    show_opponents: bool = True
+    # Temporal memory: stack the last K depth frames as the pixel obs
+    # (newest last). 1 = single frame (original shapes/state).
+    frame_stack: int = 1
 
     @property
     def params(self) -> DroneParams:
@@ -84,7 +107,7 @@ class VisionRaceEnv:
         cam_pos, cam_R = camera_pose(self.rig, pos, R)
         rworld = world
         include = ("gates", "ground")
-        if A > 1:
+        if A > 1 and self.show_opponents:
             # opponents as spheres at their live positions (static gather
             # drops self, like multi_race._obs's others block)
             idx = np.asarray(
@@ -126,17 +149,45 @@ class VisionRaceEnv:
         return jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), obs)
 
+    def _stack(self, obs, frames):
+        """obs['pixels'] (R, A, H, W) + history (R, A, K-1, H, W) ->
+        stacked pixels (R, A, K, H, W) and the shifted history."""
+        cur = obs["pixels"][..., None, :, :]
+        stacked = jnp.concatenate([frames, cur], axis=-3)
+        return dict(obs, pixels=stacked), stacked[..., 1:, :, :]
+
     def reset_batched(self, keys, world: World):
         state, _ = jax.vmap(lambda k: self.race.reset(k, world))(keys)
-        return state, self._flat(self._obs(state, world))
+        obs = self._obs(state, world)
+        if self.frame_stack > 1:
+            # history = K-1 copies of the first frame (standard stack init)
+            frames = jnp.repeat(obs["pixels"][..., None, :, :],
+                                self.frame_stack - 1, axis=-3)
+            obs, frames = self._stack(obs, frames)
+            return (VisionRaceState(race=state, frames=frames),
+                    self._flat(obs))
+        return state, self._flat(obs)
 
-    def step_batched(self, state: MultiRaceState, action, world: World):
+    def step_batched(self, state: Union[MultiRaceState, "VisionRaceState"],
+                     action, world: World):
         """action (n_races * A, 4) flat over agents."""
         A = self.race.n_agents
+        stacked = isinstance(state, VisionRaceState)
+        race_state = state.race if stacked else state
         st, _, reward, done, info = jax.vmap(
             lambda s, a: self.race.step(s, a, world))(
-                state, action.reshape(-1, A, action.shape[-1]))
-        obs = self._flat(self._obs(st, world))
+                race_state, action.reshape(-1, A, action.shape[-1]))
+        obs = self._obs(st, world)
+        if stacked:
+            # whole-race resets flush the history to the respawn frame —
+            # stale pre-reset frames must not leak across episodes
+            cur = obs["pixels"][..., None, :, :]
+            fresh = jnp.repeat(cur, self.frame_stack - 1, axis=-3)
+            frames = jnp.where(done[:, None, None, None, None],
+                               fresh, state.frames)
+            obs, frames = self._stack(obs, frames)
+            st = VisionRaceState(race=st, frames=frames)
+        obs = self._flat(obs)
         # per-agent termination: own crash OR the whole-race reset
         # (bootstrapping across the respawn would corrupt GAE)
         info = dict(info,

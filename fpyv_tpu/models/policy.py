@@ -100,15 +100,26 @@ class PixelActorCritic(fnn.Module):
 
     @fnn.compact
     def __call__(self, pixels, proprio) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """pixels (..., H, W) in [0,1] f32/bf16 OR uint8 levels (converted
-        here — storing rollout pixels as uint8 quarters the learner's HBM
-        traffic and is numerically exact: levels/255 is reapplied on use);
-        proprio (..., P)."""
+        """pixels (..., H, W) — or (..., K, H, W) for a K-frame stack
+        (newest-last temporal memory, VERDICT r3 #3) — in [0,1] f32/bf16 OR
+        uint8 levels (converted here — storing rollout pixels as uint8
+        quarters the learner's HBM traffic and is numerically exact:
+        levels/255 is reapplied on use); proprio (..., P).
+
+        Frame stacks fold into the existing torsos without new machinery:
+        the patch torso patchifies each frame and embeds the CONCATENATED
+        per-patch stack (contraction K*patch^2 — an even better MXU shape
+        than a single frame), the conv torso treats K as input channels.
+        A single frame is exactly the K == 1 case (same params/outputs)."""
         dt = self.compute_dtype
         if pixels.dtype == jnp.uint8:
             # via f32 so values are bit-identical to the f32-storage path
             # (u8 -> bf16 -> /255 would round differently)
             pixels = pixels.astype(jnp.float32) / 255.0
+        stacked = pixels.ndim >= 3 and proprio.ndim + 1 < pixels.ndim
+        K = pixels.shape[-3] if stacked else 1
+        if not stacked:
+            pixels = pixels[..., None, :, :]  # -> (..., 1, H, W)
         if self.torso == "patch":
             p = self.patch
             H, W = pixels.shape[-2], pixels.shape[-1]
@@ -116,23 +127,26 @@ class PixelActorCritic(fnn.Module):
                 raise ValueError(
                     f"patch torso needs H and W divisible by patch={p}, "
                     f"got {H}x{W} — use torso='conv' or a smaller patch")
-            lead = pixels.shape[:-2]
-            # space-to-depth: (..., H, W) -> (..., (H/p)*(W/p), p*p)
-            x = pixels.reshape(lead + (H // p, p, W // p, p))
-            x = jnp.moveaxis(x, -3, -2).reshape(lead + (-1, p * p))
+            lead = pixels.shape[:-3]
+            # per-frame space-to-depth: (..., K, H, W) -> (..., K, NP, p*p),
+            # then frames concat per patch -> (..., NP, K*p*p)
+            x = pixels.reshape(lead + (K, H // p, p, W // p, p))
+            x = jnp.moveaxis(x, -3, -2).reshape(lead + (K, -1, p * p))
+            x = jnp.moveaxis(x, -3, -2).reshape(lead + ((H // p) * (W // p),
+                                                        K * p * p))
             if dt is not None:
                 x = x.astype(dt)
             x = fnn.relu(fnn.Dense(self.embed, name="patch_embed", dtype=dt)(x))
             x = x.reshape(lead + (-1,))
         else:
-            x = pixels[..., None]  # -> NHWC
+            x = jnp.moveaxis(pixels, -3, -1)  # -> NHWC with K channels
             if dt is not None:
                 x = x.astype(dt)
             for i, ch in enumerate(self.channels):
                 x = fnn.Conv(ch, (3, 3), strides=(2, 2), name=f"conv{i}",
                              dtype=dt)(x)
                 x = fnn.relu(x)
-            x = x.reshape(x.shape[: pixels.ndim - 2] + (-1,))
+            x = x.reshape(x.shape[: pixels.ndim - 3] + (-1,))
         x = jnp.concatenate(
             [x, proprio.astype(x.dtype)], axis=-1)
         for i, h in enumerate(self.hidden):

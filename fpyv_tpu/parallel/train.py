@@ -29,16 +29,20 @@ def make_distributed_ppo(
     env_step: Callable,
     config: PpoConfig,
     mesh: Mesh,
+    metrics_fn: Callable = None,
 ):
     """Returns (init, train_iteration) where train_iteration is shard_map'd.
 
     ``config.num_envs`` is the GLOBAL env count; each device runs
     num_envs // mesh.size locally. init() takes already-sharded inputs
-    (see fpyv_tpu.parallel.mesh helpers).
+    (see fpyv_tpu.parallel.mesh helpers). ``metrics_fn`` (optional, as in
+    make_ppo) runs on each shard's local env state; its scalars are pmean'd
+    with the rest of the info dict, so counters must be shard-local means.
     """
     n_local = config.num_envs // mesh.size
     local_config = dc_replace(config, num_envs=n_local, axis_name=ENV_AXIS)
-    init, local_iteration = make_ppo(apply_fn, env_step, local_config)
+    init, local_iteration = make_ppo(apply_fn, env_step, local_config,
+                                     metrics_fn=metrics_fn)
 
     state_spec = PpoState(
         params=P(),

@@ -73,6 +73,12 @@ def make_sac(
     actor_apply: Callable,  # (params, obs) -> (mean, log_std)
     critic_apply: Callable,  # (params, obs, action) -> (q1, q2)
     env_step: Callable,  # (env_state, action, key) -> (env_state, obs, r, d)
+    #   or -> (..., d, store_next_obs): an optional 5th return is the
+    #   successor observation to STORE in the replay — at time-limit
+    #   truncations the auto-reset makes the carried obs the respawn state,
+    #   and bootstrapping the Q target from the respawn instead of the true
+    #   successor is a systematic bias (ADVICE r3); pass the env's
+    #   info["final_obs"] there to store the pre-reset successor
     config: SacConfig,
     obs_dim: int,
     action_dim: int,
@@ -170,10 +176,14 @@ def make_sac(
         else:
             action, _ = _squashed_sample(
                 actor_apply, state.actor_params, state.last_obs, kact)
-        env_state, next_obs, reward, done = env_step(
-            state.env_state, action, kenv)
+        out = env_step(state.env_state, action, kenv)
+        if len(out) == 5:  # (st, obs, r, d, store_next_obs)
+            env_state, next_obs, reward, done, store_obs = out
+        else:
+            env_state, next_obs, reward, done = out
+            store_obs = next_obs
         buffer = replay_add_batch(
-            state.buffer, state.last_obs, action, reward, next_obs, done)
+            state.buffer, state.last_obs, action, reward, store_obs, done)
         state = state.replace(
             buffer=buffer, env_state=env_state, last_obs=next_obs,
             key=key, step=state.step + 1)

@@ -231,3 +231,43 @@ class TestCalibrationViews:
         js = self._js(tmp_path)
         js.render_bars()
         js.render_axes()  # must not raise
+
+
+class TestCalibrateCli:
+    """`fpyv_tpu.cli calibrate` — the runnable twin of get_sticks.py's
+    __main__ (calibrate + live read loop, get_sticks.py:268-283)."""
+
+    def test_calibrate_subcommand_headless(self, tmp_path, monkeypatch,
+                                           capsys):
+        from fpyv_tpu import cli
+        from fpyv_tpu.inputs import rc
+
+        path = tmp_path / "calib.json"
+        path.write_text(json.dumps(FRSKY_STYLE_CALIB))
+        monkeypatch.delenv("DISPLAY", raising=False)
+        monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+
+        class FakeJoystick(rc.Joystick):
+            def __init__(self, index=0):
+                super().__init__(index=99)  # no real device
+                self.ret = True  # pretend connected
+
+            def read(self):
+                self.last_raw = np.full(self.N_CHANNELS, 32767.0)
+                return self.last_raw[None, :]
+
+        monkeypatch.setattr(rc, "Joystick", FakeJoystick)
+        cli.main(["calibrate", "--calibration", str(path),
+                  "--live", "0.1", "--rps", "10"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["calibration"] == str(path)
+        assert out["sticks"]["Throttle"]["idx"] == 0
+        assert out["live_seconds"] == 0.1
+        assert len(out["action"]) == 4
+
+    def test_calibrate_no_device_exits(self, monkeypatch, tmp_path):
+        from fpyv_tpu import cli
+
+        with pytest.raises(SystemExit):
+            cli.main(["calibrate", "--index", "97",
+                      "--calibration", str(tmp_path / "none.json")])

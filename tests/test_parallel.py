@@ -122,6 +122,78 @@ class TestPpoLearning:
         assert np.mean(rewards[-5:]) > np.mean(rewards[:5]) + 0.05, rewards
 
 
+class TestDistributedRace:
+    """BASELINE config #5's sharding clause (VERDICT r3 #2): the shared-
+    policy multi-agent race layout — MultiRaceState carry P('env') on the
+    race axis, learner on the flat race-major (races * agents) batch."""
+
+    def test_race_rollout_identical_across_layouts(self, eight_devices):
+        """Deterministic shared-policy rollout: unsharded vs P('env') on 8
+        devices must produce bit-identical rewards/gate counters (per-env
+        keys, order-independent math)."""
+        from fpyv_tpu.envs.multi_race import (MultiRaceEnv,
+                                              make_shared_policy_env_step)
+
+        A, n_races, T = 2, 16, 20
+        env = MultiRaceEnv(n_agents=A, max_episode_steps=64)
+        env_step, reset_fn = make_shared_policy_env_step(
+            env, env.default_world(), n_envs=n_races)
+        state0, obs0 = reset_fn(jax.random.key(0))
+        action = jnp.tile(jnp.asarray([[0.0, 0.2, 0.0, -0.3]]),
+                          (n_races * A, 1))
+
+        def run(state):
+            def body(st, _):
+                st, obs, r, d = env_step(st, action, None)
+                return st, (r, st.gates_passed)
+
+            return jax.lax.scan(body, state, None, length=T)[1]
+
+        r_single, g_single = jax.jit(run)(state0)
+        mesh = make_mesh(8)
+        r_shard, g_shard = jax.jit(run)(shard_leading_axis(state0, mesh))
+        np.testing.assert_array_equal(np.asarray(r_single),
+                                      np.asarray(r_shard))
+        np.testing.assert_array_equal(np.asarray(g_single),
+                                      np.asarray(g_shard))
+
+    def test_distributed_race_iteration(self, eight_devices):
+        """One shard_map'd shared-policy race PPO iteration on the 8-device
+        mesh: runs, finite loss, global race metrics in info."""
+        from fpyv_tpu.envs.multi_race import (MultiRaceEnv,
+                                              make_shared_policy_env_step)
+        from fpyv_tpu.models.policy import ActorCritic
+        from fpyv_tpu.parallel.train import (make_distributed_ppo,
+                                             shard_ppo_state)
+        from fpyv_tpu.rl.ppo import PpoConfig
+
+        A, n_races = 2, 32
+        env = MultiRaceEnv(n_agents=A, max_episode_steps=64)
+        env_step, reset_fn = make_shared_policy_env_step(
+            env, env.default_world(), n_envs=n_races)
+        net = ActorCritic(action_dim=4, hidden=(16, 16))
+        config = PpoConfig(num_envs=n_races * A, num_steps=4,
+                           update_epochs=1, num_minibatches=2)
+        mesh = make_mesh(8)
+
+        def metrics(env_state):
+            return {"mean_gates_passed":
+                    env_state.gates_passed.astype(jnp.float32).mean()}
+
+        state0, obs0 = reset_fn(jax.random.key(0))
+        params = net.init(jax.random.key(1), obs0[:1])
+        init, iteration = make_distributed_ppo(
+            net.apply, env_step, config, mesh, metrics_fn=metrics)
+        state = init(params, state0, obs0,
+                     jax.random.split(jax.random.key(2), 8))
+        state = shard_ppo_state(state, mesh)
+        state, info = iteration(state)
+        assert np.isfinite(float(np.asarray(info["loss"])))
+        assert "mean_gates_passed" in info
+        # the carry stayed sharded on the race axis
+        assert state.env_state.gates_passed.sharding.spec == P("env")
+
+
 @pytest.mark.slow
 class TestDcnTwoProcess:
     def test_hybrid_mesh_two_process_ppo(self, tmp_path):
@@ -168,3 +240,22 @@ class TestDcnTwoProcess:
             assert o["mesh_size"] == 8
         # SPMD: both processes computed the SAME replicated losses
         assert outs[0]["losses"] == outs[1]["losses"], outs
+
+
+class TestCurriculumDistributed:
+    def test_vision_curriculum_composes_with_distributed(self, eight_devices,
+                                                         tmp_path):
+        """VERDICT r3 #5: curriculum world resampling + distributed=True in
+        one run — the chunk hook re-places resampled worlds onto the carry's
+        env-axis sharding. Short smoke on the 8-device CPU mesh."""
+        from fpyv_tpu.apps.train import train_vision
+        from fpyv_tpu.vision.camera import CameraRig
+
+        rig = CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
+                        fov_deg=120.0, resolution=(32, 24))
+        res = train_vision(
+            num_envs=16, num_iterations=4, num_steps=4, seed=0,
+            distributed=True, randomize_worlds=True, curriculum_iters=2,
+            rig=rig, scan_chunk=2, num_minibatches=2, update_epochs=1,
+            compute_dtype="f32", print_every=100)
+        assert np.isfinite(res.mean_reward_last)

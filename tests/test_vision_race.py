@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fpyv_tpu.envs.multi_race import MultiRaceEnv
+from fpyv_tpu.envs.multi_race import MultiRaceEnv, MultiRaceState
 from fpyv_tpu.envs.vision_race import VisionRaceEnv
 
 
@@ -165,3 +165,120 @@ class TestMultiAgentVision:
                                 num_steps=4, scan_chunk=2, num_minibatches=2,
                                 compute_dtype="f32", print_every=100)
         assert np.isfinite(res.mean_reward_last)
+
+
+class TestFrameStack:
+    """Temporal memory for the pixel racer (VERDICT r3 #3)."""
+
+    def _env(self, k=3, **kw):
+        return VisionRaceEnv(race=MultiRaceEnv(n_agents=1, **kw),
+                             frame_stack=k)
+
+    def test_stacked_shapes_and_init(self):
+        env = self._env(k=3)
+        world = env.default_world()
+        st, obs = env.reset_batched(jax.random.split(jax.random.key(0), 2),
+                                    world)
+        assert obs["pixels"].shape == (2, 3, 72, 96)
+        assert obs["pixels"].dtype == jnp.uint8
+        # at reset the stack is K copies of the first frame
+        px = np.asarray(obs["pixels"])
+        np.testing.assert_array_equal(px[:, 0], px[:, 1])
+        np.testing.assert_array_equal(px[:, 1], px[:, 2])
+
+    def test_history_shifts_newest_last(self):
+        env = self._env(k=3)
+        world = env.default_world()
+        st, obs0 = env.reset_batched(jax.random.split(jax.random.key(1), 1),
+                                     world)
+        a = jnp.zeros((1, 4), jnp.float32).at[:, 1].set(0.5)  # pitch
+        st1, obs1, _, _, _ = env.step_batched(st, a, world)
+        st2, obs2, _, _, _ = env.step_batched(st1, a, world)
+        p0 = np.asarray(obs0["pixels"])  # frames [f0 f0 f0]
+        p1 = np.asarray(obs1["pixels"])  # frames [f0 f0 f1]
+        p2 = np.asarray(obs2["pixels"])  # frames [f0 f1 f2]
+        np.testing.assert_array_equal(p1[:, 0], p0[:, 2])
+        np.testing.assert_array_equal(p2[:, 0], p1[:, 1])
+        np.testing.assert_array_equal(p2[:, 1], p1[:, 2])
+        # and the drone is moving, so the newest frame differs
+        assert (p2[:, 2].astype(int) - p2[:, 1].astype(int) != 0).any()
+
+    def test_k1_keeps_original_state_and_shapes(self):
+        env = VisionRaceEnv(race=MultiRaceEnv(n_agents=1), frame_stack=1)
+        world = env.default_world()
+        st, obs = env.reset_batched(jax.random.split(jax.random.key(2), 2),
+                                    world)
+        assert obs["pixels"].shape == (2, 72, 96)
+        assert isinstance(st, MultiRaceState)
+
+    def test_trainer_smoke_with_stack(self):
+        from fpyv_tpu.apps.train import train_vision_race
+
+        res = train_vision_race(num_envs=4, num_iterations=3, num_steps=4,
+                                scan_chunk=1, num_minibatches=2,
+                                frame_stack=3, compute_dtype="f32",
+                                print_every=100)
+        assert np.isfinite(res.mean_reward_last)
+
+
+class TestOpponentKnobs:
+    """Opponent-aware racing (VERDICT r3 #6): ablation switches + the
+    zero-sum overtake reward."""
+
+    def test_show_opponents_off_removes_them_from_frame(self):
+        race = MultiRaceEnv(n_agents=2)
+        world = race.default_world()
+        env_on = VisionRaceEnv(race=race)
+        env_off = VisionRaceEnv(race=race, show_opponents=False)
+        st, _ = env_on.reset_batched(jax.random.split(jax.random.key(0), 1),
+                                     world)
+        p0 = np.asarray(st.drones.pos)[0, 0]
+        newpos = jnp.asarray([[[p0[0], p0[1], 3.0],
+                               [p0[0], p0[1] + 2.5, 2.5]]], jnp.float32)
+        st = st.replace(drones=st.drones.replace(pos=newpos))
+        d = (np.abs(np.asarray(env_on._obs(st, world)["pixels"], np.int32)
+                    - np.asarray(env_off._obs(st, world)["pixels"],
+                                 np.int32)))
+        assert (d[0, 0] > 0).sum() > 3  # ON shows the opponent; OFF doesn't
+
+    def test_others_in_obs_ablation_zeroes_block(self):
+        on = MultiRaceEnv(n_agents=3)
+        off = MultiRaceEnv(n_agents=3, others_in_obs=False)
+        world = on.default_world()
+        st, obs_on = on.reset(jax.random.key(0), world)
+        obs_off = off._obs(st, world)
+        # the others block is the LAST (A-1)*3 columns
+        n = (on.n_agents - 1) * 3
+        assert np.abs(np.asarray(obs_on[..., -n:])).sum() > 0
+        np.testing.assert_allclose(np.asarray(obs_off[..., -n:]), 0.0)
+        np.testing.assert_allclose(np.asarray(obs_off[..., :-n]),
+                                   np.asarray(obs_on[..., :-n]))
+
+    def test_overtake_reward_zero_sum_and_signed(self):
+        """Agent 1 teleports from last place to the lead: it earns
+        +w_overtake per position gained, the overtaken agents lose the
+        same total (zero-sum), and gates/progress terms stay untouched."""
+        env0 = MultiRaceEnv(n_agents=2, w_overtake=0.0,
+                            agent_collision_radius=0.0)
+        env1 = MultiRaceEnv(n_agents=2, w_overtake=2.0,
+                            agent_collision_radius=0.0)
+        world = env0.default_world()
+        st, _ = env0.reset(jax.random.key(3), world)
+        # agent 1 starts ranked last, then steps 20 m ahead of agent 0
+        # (position-first integration: p += v*dt with the OLD velocity)
+        pos = np.asarray(st.drones.pos)
+        st = st.replace(
+            drones=st.drones.replace(
+                pos=jnp.asarray([pos[0], [pos[0][0], pos[0][1] - 8.0,
+                                          pos[0][2]]]),
+                vel=jnp.asarray([[0.0, 0.0, 0.0], [0.0, 1680.0, 0.0]],
+                                jnp.float32)),
+            prev_rank=jnp.asarray([0, 1], jnp.int32))
+        a = jnp.zeros((2, 4), jnp.float32)
+        _, _, r0, _, _ = env0.step(st, a, world)
+        _, _, r1, _, info = env1.step(st, a, world)
+        dr = np.asarray(r1) - np.asarray(r0)
+        assert abs(dr.sum()) < 1e-5  # zero-sum
+        # ranks actually changed hands exactly once in one direction
+        assert int(np.asarray(info["overtakes"]).sum()) >= 1
+        assert dr.max() > 1.9  # the overtaker earned ~w_overtake
