@@ -63,6 +63,8 @@ def play_policy(
     #   evaluates the pure-pixels ablation (the onehot block stays zeroed)
     frame_stack: int = 1,  # (vision_race) must match training
     show_opponents: bool = True,  # (vision_race) in-frame opponent ablation
+    gate_size: float = 5.0,  # (race/vision_race) must match the trained
+    #   track (the gate-size curriculum evaluates at its phase's size)
     save_video: Optional[str] = None,
     video_resolution: Tuple[int, int] = (640, 480),
     chunk: int = 120,  # steps per device call
@@ -135,7 +137,8 @@ def play_policy(
 
         A = n_agents if n_agents else 1
         env = VisionRaceEnv(
-            race=MultiRaceEnv(n_agents=A, max_episode_steps=2000),
+            race=MultiRaceEnv(n_agents=A, max_episode_steps=2000,
+                              gate_size=gate_size),
             gate_onehot=gate_onehot, frame_stack=frame_stack,
             show_opponents=show_opponents)
         world = env.default_world()
@@ -166,7 +169,7 @@ def play_policy(
     elif env_name == "race":
         from fpyv_tpu.envs.multi_race import MultiRaceEnv
 
-        env = MultiRaceEnv(n_agents=n_agents)
+        env = MultiRaceEnv(n_agents=n_agents, gate_size=gate_size)
         world = env.default_world()
         net = ActorCritic(action_dim=4, hidden=tuple(hidden))
         A = n_agents

@@ -156,6 +156,7 @@ def _cmd_play(args):
         torso=args.torso, gate_onehot=not args.no_gate_onehot,
         frame_stack=args.frame_stack,
         show_opponents=not args.no_show_opponents,
+        gate_size=args.gate_size,
         save_video=args.save_video, chunk=args.chunk,
     )
     print(json.dumps(out))
@@ -396,6 +397,9 @@ def main(argv=None):
                     help="(vision_race) must match the trained net")
     yp.add_argument("--no-show-opponents", action="store_true",
                     help="(vision_race) evaluate without in-frame opponents")
+    yp.add_argument("--gate-size", type=float, default=5.0,
+                    help="(race/vision_race) track gate size — match the "
+                         "trained curriculum phase")
     yp.add_argument("--randomize", action="store_true",
                     help="(vision) evaluate on randomized worlds")
     yp.add_argument("--save-video", default=None, metavar="PATH")
