@@ -585,6 +585,62 @@ def train_vision_race(
     )
 
 
+def _train_vision_kernel(
+    venv, worlds, bank, keys, *, num_envs, num_iterations, num_steps,
+    log_dir, checkpoint_dir, checkpoint_every, resume, learning_rate,
+    print_every, scan_chunk, num_minibatches, update_epochs, compute_dtype,
+    exact_logprob=True,
+) -> TrainResult:
+    """train_vision's rollout='kernel' path: the policy-in-kernel pallas
+    rollout (ops/pallas_policy) feeding the unchanged XLA PPO learner.
+
+    The PPO carry's env_state is the kernel's raw (N, ROWS) env-major state
+    matrix; checkpoints therefore interoperate with the scan path at the
+    params level (same net parameters) but not at the env-state level."""
+    from fpyv_tpu.models.policy import PixelActorCritic
+    from fpyv_tpu.ops.pallas_policy import (
+        acro_state_to_cols, make_kernel_vision_ppo_parts)
+
+    k_env, k_net, k_train = keys
+    net = PixelActorCritic(action_dim=4, torso="patch", prepatched=True,
+                           compute_dtype=compute_dtype)
+    config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
+                       learning_rate=learning_rate,
+                       num_minibatches=num_minibatches,
+                       update_epochs=update_epochs)
+    interpret = jax.default_backend() != "tpu"
+    apply_fn, make_rollout_fn, obs_from_cols = make_kernel_vision_ppo_parts(
+        venv, worlds, net, num_envs, interpret=interpret)
+
+    env_keys = jax.random.split(k_env, num_envs)
+    env_state, obs = venv.reset_batched(env_keys, worlds, bank)
+    cols = acro_state_to_cols(env_state)
+    obs0 = obs_from_cols(cols)
+    params = net.init(
+        k_net,
+        obs0["pixels"][:1].reshape(1, -1, 64).astype(jnp.uint8),
+        obs0["proprio"][:1])
+
+    init, train_iteration = make_ppo(
+        apply_fn, None, config,
+        rollout_fn=make_rollout_fn(num_steps, compute_dtype=compute_dtype,
+                                   exact_logprob=exact_logprob))
+    state = init(params, cols, obs0, k_train)
+
+    start_iter = 0
+    if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
+        start_iter = latest_step(checkpoint_dir)
+        state = restore_checkpoint(checkpoint_dir, start_iter, template=state)
+        print(f"resumed from checkpoint at iteration {start_iter}")
+
+    return _train_loop(
+        state, train_iteration, num_envs=num_envs, num_steps=num_steps,
+        num_iterations=num_iterations, start_iter=start_iter,
+        scan_chunk=scan_chunk, log_dir=log_dir, print_every=print_every,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
+
+
 def train_vision(
     num_envs: int = 1024,
     num_iterations: int = 100,
@@ -617,6 +673,17 @@ def train_vision(
     curriculum_iters: Optional[int] = None,  # ramp world difficulty 0 -> 1
     #   over this many iterations (obstacle count/size; requires
     #   randomize_worlds); worlds resample every chunk at the ramped level
+    kernel_exact_logprob: bool = True,  # (rollout='kernel') True recomputes
+    #   log_prob/value with the XLA forward over stored obs (epoch-0 ratio
+    #   exactly 1); False trusts the kernel's own emissions (one fewer
+    #   (T*N) forward per iteration)
+    rollout: str = "scan",  # "scan" = XLA per-step rollout (default) |
+    #   "kernel" = the policy-IN-KERNEL rollout (ops/pallas_policy): render
+    #   + patch-embed actor + sample + env step fused as ONE pallas launch
+    #   per rollout, weights VMEM-resident, frames streamed out as uint8
+    #   levels; log_prob/value recomputed in one batched (T*N) forward.
+    #   Requires torso='patch', renderer='raycast', no distributed/
+    #   curriculum (worlds bake into the kernel's world columns).
 ) -> TrainResult:
     """Pixels-to-action PPO: VisionAcroEnv depth observations through the
     conv policy (PixelActorCritic), rendered inside the jitted rollout.
@@ -657,9 +724,35 @@ def train_vision(
         worlds = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), world)
 
+    cdt = jnp.bfloat16 if compute_dtype == "bf16" else None
+    if rollout == "kernel":
+        if torso != "patch" or renderer != "raycast":
+            raise ValueError("rollout='kernel' requires torso='patch' and "
+                             "renderer='raycast'")
+        if distributed or curriculum_iters:
+            raise ValueError("rollout='kernel' does not compose with "
+                             "distributed/curriculum yet (worlds bake into "
+                             "the kernel's world columns)")
+        import dataclasses
+
+        # the kernel integrates attitude as a quaternion (same R
+        # trajectories — physics parity tests); obs carries no attitude,
+        # so the trained task is identical to the rotmat scan path
+        env = dataclasses.replace(
+            env, acro=dataclasses.replace(
+                env.acro, params=DroneParams(att_mode="quat")))
+        return _train_vision_kernel(
+            venv=env, worlds=worlds, bank=bank, keys=(k_env, k_net, k_train),
+            num_envs=num_envs, num_iterations=num_iterations,
+            num_steps=num_steps, log_dir=log_dir,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            resume=resume, learning_rate=learning_rate,
+            print_every=print_every, scan_chunk=scan_chunk,
+            num_minibatches=num_minibatches, update_epochs=update_epochs,
+            compute_dtype=cdt, exact_logprob=kernel_exact_logprob)
     net = PixelActorCritic(
         action_dim=4, torso=torso,
-        compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None)
+        compute_dtype=cdt)
     config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
                        learning_rate=learning_rate,
                        num_minibatches=num_minibatches,

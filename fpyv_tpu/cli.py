@@ -123,7 +123,7 @@ def _cmd_train(args):
             checkpoint_dir=args.checkpoint_dir, resume=args.resume,
             randomize_worlds=args.randomize, renderer=args.renderer,
             target_only=args.target_only, torso=args.torso,
-            pixel_store=args.pixel_store,
+            pixel_store=args.pixel_store, rollout=args.rollout,
             curriculum_iters=args.curriculum,
             **({"update_epochs": args.update_epochs}
                if args.update_epochs else {}),
@@ -363,6 +363,10 @@ def main(argv=None):
                          "MXU default) or the conv stack")
     tp.add_argument("--pixel-store", choices=["u8", "f32"], default="u8",
                     help="(vision) rollout pixel storage dtype (u8 exact)")
+    tp.add_argument("--rollout", choices=["scan", "kernel"], default="scan",
+                    help="(vision) rollout engine: XLA per-step scan or the "
+                         "policy-in-kernel pallas megaloop (render + actor "
+                         "+ env step fused, weights VMEM-resident)")
     tp.add_argument("--update-epochs", type=int, default=None,
                     help="PPO epochs per iteration (default: trainer's)")
     tp.add_argument("--ent-coef", type=float, default=None,

@@ -95,6 +95,11 @@ class PixelActorCritic(fnn.Module):
     torso: str = "conv"  # "conv" | "patch"
     patch: int = 8
     embed: int = 128  # per-patch embedding width (patch torso)
+    # pixels arrive already space-to-depth'd as (..., n_patches, patch^2)
+    # (the in-kernel rollout renders frames in patch-major order,
+    # ops/pallas_policy); parameters and outputs are identical to the
+    # (..., H, W) path — the embed sees the same 64 pixels either way
+    prepatched: bool = False
     log_std_min: float = -5.0  # see ActorCritic.log_std_min
     log_std_max: float = 1.5
 
@@ -116,6 +121,30 @@ class PixelActorCritic(fnn.Module):
             # via f32 so values are bit-identical to the f32-storage path
             # (u8 -> bf16 -> /255 would round differently)
             pixels = pixels.astype(jnp.float32) / 255.0
+        if self.prepatched:
+            if self.torso != "patch":
+                raise ValueError("prepatched pixels require torso='patch'")
+            x = pixels  # (..., NP, patch^2)
+            if dt is not None:
+                x = x.astype(dt)
+            x = fnn.relu(fnn.Dense(self.embed, name="patch_embed",
+                                   dtype=dt)(x))
+            x = x.reshape(pixels.shape[:-2] + (-1,))
+            x = jnp.concatenate([x, proprio.astype(x.dtype)], axis=-1)
+            for i, h in enumerate(self.hidden):
+                x = fnn.relu(fnn.Dense(h, name=f"fc{i}", dtype=dt)(x))
+            x = x.astype(jnp.float32)
+            mean = fnn.Dense(
+                self.action_dim, name="pi_mean",
+                kernel_init=fnn.initializers.orthogonal(0.01),
+            )(x)
+            log_std = self.param(
+                "log_std", fnn.initializers.constant(self.log_std_init),
+                (self.action_dim,), jnp.float32,
+            )
+            log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
+            value = fnn.Dense(1, name="v_out")(x)[..., 0]
+            return mean, log_std, value
         stacked = pixels.ndim >= 3 and proprio.ndim + 1 < pixels.ndim
         K = pixels.shape[-3] if stacked else 1
         if not stacked:

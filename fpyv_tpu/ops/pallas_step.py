@@ -108,22 +108,46 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
       and the low-passed rates/thrust memories still update from ``action``
       (components.py:229 runs action2force unconditionally).
     """
-    dt = params.dt
 
     def c(i):  # component i's (8, N/8) tile
         return state[SUBLANES * i:SUBLANES * (i + 1)]
 
-    px, py, pz = c(0), c(1), c(2)
-    vx, vy, vz = c(3), c(4), c(5)
-    qw, qx, qy, qz = c(6), c(7), c(8), c(9)
-    r0, r1, r2 = c(10), c(11), c(12)
-    thrust_prev = c(13)
-    done = c(14)
+    def ac(i):
+        return action[SUBLANES * i:SUBLANES * (i + 1)]
+
+    spheres = [(sphere_c[0, s], sphere_c[1, s], sphere_c[2, s],
+                sphere_r[s], sphere_active[s])
+               for s in range(sphere_c.shape[1])]
+    cyls = None if cyl is None else [
+        (cyl[0, ci], cyl[1, ci], cyl[2, ci], cyl[3, ci], cyl[4, ci],
+         cyl[5, ci]) for ci in range(cyl.shape[1])]
+    out = _step_components(
+        params, spheres, [c(i) for i in range(STATE_ROWS)],
+        [ac(i) for i in range(4)], cyls=cyls, dr=dr, wind=wind,
+        override=override)
+    return jnp.concatenate(out, axis=0)
+
+
+def _step_components(params: DroneParams, spheres, comps, acts, cyls=None,
+                     dr=None, wind=None, override=None,
+                     with_accel_z=False):
+    """Layout-agnostic physics-step core: ``comps`` is the 15-component
+    state (pos3, vel3, quat4, rates3, thrust, done) as same-shaped arrays
+    of ANY layout — (8, N/8) row tiles (:func:`_step_math`) or (E, 1)
+    env-major columns (ops/pallas_policy's in-kernel trainer).  ``spheres``
+    is a list of (cx, cy, cz, r, active) and ``cyls`` of (cx, cy, cz, r, h,
+    active); entries may be scalars (shared world) or arrays broadcasting
+    against the components (per-env worlds).  Returns the 15 next-state
+    components (+ the world-z acceleration when ``with_accel_z``, the
+    IMU-style obs field the vision trainer feeds the policy)."""
+    dt = params.dt
+    px, py, pz, vx, vy, vz, qw, qx, qy, qz, r0, r1, r2, thrust_prev, done = \
+        comps
 
     # --- action2force (components.py:179-196)
     mr = params.max_rates
-    def ac(i):
-        return action[SUBLANES * i:SUBLANES * (i + 1)]
+
+    ac = lambda i: acts[i]
 
     rc0 = jnp.clip(-ac(0) * mr, -mr, mr)
     rc1 = jnp.clip(-ac(1) * mr, -mr, mr)
@@ -209,12 +233,10 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
         cfz = cfz + hit * (-spring_k * pen)
         crashed = jnp.maximum(crashed, (mz < 0).astype(px.dtype))
         # spheres
-        for s in range(sphere_c.shape[1]):
-            act_s = sphere_active[s]
-            sx, sy, sz = sphere_c[0, s], sphere_c[1, s], sphere_c[2, s]
+        for (sx, sy, sz, sr_, act_s) in spheres:
             ddx, ddy, ddz = mx - sx, my - sy, mz - sz
             dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-            sd = dist - sphere_r[s]
+            sd = dist - sr_
             inv = 1.0 / jnp.maximum(dist, 1e-12)
             pen_s = sd - rm
             hit_s = ((pen_s < 0).astype(px.dtype)) * act_s
@@ -224,10 +246,7 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
             cfz = cfz + hit_s * mag * ddz * inv
             crashed = jnp.maximum(crashed, ((sd < 0).astype(px.dtype)) * act_s)
         # cylinders (physics/world.py cylinder_sdf parity incl. both quirks)
-        for ci in range(0 if cyl is None else cyl.shape[1]):
-            act_c = cyl[5, ci]
-            cx_, cy2, cz_ = cyl[0, ci], cyl[1, ci], cyl[2, ci]
-            cr_, ch_ = cyl[3, ci], cyl[4, ci]
+        for (cx_, cy2, cz_, cr_, ch_, act_c) in (cyls or ()):
             ddx, ddy = mx - cx_, my - cy2
             r2d = jnp.sqrt(ddx * ddx + ddy * ddy)
             d2d = r2d - cr_
@@ -285,10 +304,10 @@ def _step_math(params: DroneParams, sphere_c, sphere_r, sphere_active,
     qw, qx, qy, qz = qw * qn, qx * qn, qy * qn, qz * qn
 
     done = jnp.maximum(done, crashed)
-    return jnp.concatenate(
-        [px, py, pz, vx, vy, vz, qw, qx, qy, qz, n0, n1, n2, thrust, done],
-        axis=0,
-    )
+    out = [px, py, pz, vx, vy, vz, qw, qx, qy, qz, n0, n1, n2, thrust, done]
+    if with_accel_z:
+        out.append(acz)
+    return out
 
 
 def _kernel_single(params, use_cyl, state_ref, action_ref, sphere_ref,

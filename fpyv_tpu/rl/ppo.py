@@ -80,6 +80,12 @@ def make_ppo(
     env_step: Callable,  # env_step(env_state, action, key) -> (env_state, obs, reward, done)
     config: PpoConfig,
     metrics_fn: Optional[Callable] = None,  # metrics_fn(env_state) -> dict
+    rollout_fn: Optional[Callable] = None,  # replaces the default scan
+    #   rollout: rollout_fn(state) -> (env_state, last_obs, key, traj)
+    #   with traj a (T, N, ...) Transition.  The in-kernel vision rollout
+    #   (ops/pallas_policy) collects the trajectory in ONE pallas launch
+    #   and recomputes log_prob/value in a single batched forward; the
+    #   learner half of the iteration is unchanged.
 ):
     """Build (init, train_iteration) for a vectorized env.
 
@@ -151,7 +157,8 @@ def make_ppo(
         }
 
     def train_iteration(state: PpoState):
-        env_state, last_obs, key, traj = _rollout(state)
+        env_state, last_obs, key, traj = (
+            _rollout(state) if rollout_fn is None else rollout_fn(state))
         _, _, last_value = apply_fn(state.params, last_obs)
         advantages, targets = compute_gae(
             traj.reward, traj.value, traj.done, last_value,
