@@ -677,13 +677,17 @@ def train_vision(
     #   log_prob/value with the XLA forward over stored obs (epoch-0 ratio
     #   exactly 1); False trusts the kernel's own emissions (one fewer
     #   (T*N) forward per iteration)
-    rollout: str = "scan",  # "scan" = XLA per-step rollout (default) |
-    #   "kernel" = the policy-IN-KERNEL rollout (ops/pallas_policy): render
-    #   + patch-embed actor + sample + env step fused as ONE pallas launch
-    #   per rollout, weights VMEM-resident, frames streamed out as uint8
-    #   levels; log_prob/value recomputed in one batched (T*N) forward.
-    #   Requires torso='patch', renderer='raycast', no distributed/
-    #   curriculum (worlds bake into the kernel's world columns).
+    rollout: str = "auto",  # "kernel" = the policy-IN-KERNEL rollout
+    #   (ops/pallas_policy): render + patch-embed actor + sample + env step
+    #   fused as ONE pallas launch per rollout, weights VMEM-resident,
+    #   frames streamed out as uint8 levels; log_prob/value recomputed in
+    #   one batched (T*N) forward. Requires torso='patch',
+    #   renderer='raycast', no distributed/curriculum (worlds bake into the
+    #   kernel's world columns). "scan" = the XLA per-step rollout.
+    #   "auto" (default) picks the kernel exactly when supported — the
+    #   400-iteration seed-matched A/B measured it 1.12x the scan rollout
+    #   at the same 2-epoch recipe WITH equal-or-better convergence
+    #   (BENCH.md round 4) — and silently falls back to scan otherwise.
 ) -> TrainResult:
     """Pixels-to-action PPO: VisionAcroEnv depth observations through the
     conv policy (PixelActorCritic), rendered inside the jitted rollout.
@@ -725,6 +729,11 @@ def train_vision(
             lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), world)
 
     cdt = jnp.bfloat16 if compute_dtype == "bf16" else None
+    if rollout == "auto":
+        supported = (torso == "patch" and renderer == "raycast"
+                     and not target_only and not distributed
+                     and not curriculum_iters)
+        rollout = "kernel" if supported else "scan"
     if rollout == "kernel":
         if torso != "patch" or renderer != "raycast":
             raise ValueError("rollout='kernel' requires torso='patch' and "

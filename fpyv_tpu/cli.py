@@ -363,10 +363,13 @@ def main(argv=None):
                          "MXU default) or the conv stack")
     tp.add_argument("--pixel-store", choices=["u8", "f32"], default="u8",
                     help="(vision) rollout pixel storage dtype (u8 exact)")
-    tp.add_argument("--rollout", choices=["scan", "kernel"], default="scan",
-                    help="(vision) rollout engine: XLA per-step scan or the "
-                         "policy-in-kernel pallas megaloop (render + actor "
-                         "+ env step fused, weights VMEM-resident)")
+    tp.add_argument("--rollout", choices=["auto", "scan", "kernel"],
+                    default="auto",
+                    help="(vision) rollout engine: the policy-in-kernel "
+                         "pallas megaloop (render + actor + env step fused, "
+                         "weights VMEM-resident; 1.12x at equal recipe, "
+                         "BENCH.md r4) when supported, else the XLA scan; "
+                         "force with scan/kernel")
     tp.add_argument("--update-epochs", type=int, default=None,
                     help="PPO epochs per iteration (default: trainer's)")
     tp.add_argument("--ent-coef", type=float, default=None,

@@ -252,8 +252,10 @@ def _kernel(params, ecfg: _EnvCfg, rcfg: _RenderCfg, rig: CameraRig,
         t = jnp.minimum(t_min, jnp.float32(rcfg.max_depth))
         lev = jnp.clip(jnp.floor(255.0 * (1.0 - t / jnp.float32(
             rcfg.max_depth))), 0.0, 255.0)
-        frame_s[:, p0:p0 + pix_blk] = lev
-        frames_out[0, :, p0:p0 + pix_blk] = lev
+        # integer levels <= 255 are EXACT in bf16 (8 significand bits), so
+        # bf16 frame storage halves both the scratch and the HBM stream
+        frame_s[:, p0:p0 + pix_blk] = lev.astype(jnp.bfloat16)
+        frames_out[0, :, p0:p0 + pix_blk] = lev.astype(jnp.bfloat16)
 
     # ---- proprio (env._obs normalization) + store --------------------------
     r0 = col(10) * jnp.float32(1.0 / ecfg.max_rates)
@@ -268,9 +270,12 @@ def _kernel(params, ecfg: _EnvCfg, rcfg: _RenderCfg, rig: CameraRig,
     # ---- policy forward ----------------------------------------------------
     # patchify: static column-block copies into (NP*E, PP) bf16
     for p in range(NP):
+        # via f32 DIVISION so the policy sees bit-identical values to the
+        # learner's u8.astype(f32)/255.0 (a reciprocal multiply differs in
+        # the last ulp for some levels)
         embed_s[p * E:(p + 1) * E, :] = (
-            frame_s[:, p * PP:(p + 1) * PP] * jnp.float32(1.0 / 255.0)
-        ).astype(dt)
+            frame_s[:, p * PP:(p + 1) * PP].astype(jnp.float32)
+            / jnp.float32(255.0)).astype(dt)
     emb = jax.lax.dot_general(
         embed_s[:, :], we_ref[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dt)
@@ -415,13 +420,13 @@ def _call_policy_rollout(params, ecfg, rcfg, rig, e_blk, n_steps, pix_blk,
                   full(weights.std)],
         out_specs=(step_out(hw), step_out(8), step_out(8), blk_state),
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, N, hw), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, N, hw), jnp.bfloat16),
             jax.ShapeDtypeStruct((n_steps, N, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_steps, N, 8), jnp.float32),
             jax.ShapeDtypeStruct((N, ROWS), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((e_blk, hw), jnp.float32),          # frame
+            pltpu.VMEM((e_blk, hw), jnp.bfloat16),         # frame
             pltpu.VMEM((NP * e_blk, PP), dt),              # embed input
             pltpu.VMEM((e_blk, kf_pad), dt),               # fc input
             pltpu.VMEM((e_blk, ROWS), jnp.float32),        # state carry
@@ -518,7 +523,7 @@ def pallas_policy_vision_rollout(
     )
     wcol = _world_cols(rcfg, worlds, N)
     dcam = jnp.asarray(patch_major_ray_grid(rig))
-    pix_blk = _policy_pix_block(hw)
+    pix_blk = _policy_pix_block(hw, target=1536 if e_blk <= 32 else 768)
     return _call_policy_rollout(env.params, _acro_cfg(env), rcfg, rig,
                                 e_blk, n_steps, pix_blk, compute_dtype,
                                 interpret, seed, state_cols, wcol, dcam,

@@ -79,7 +79,7 @@ class TestKernelRollout:
             compute_dtype=None, interpret=True)
         # frame parity: integer levels == the uint8 obs, patch-major
         want = prepatch_pixels(obs["pixels"]).astype(np.float32)
-        np.testing.assert_array_equal(np.asarray(frames[0]),
+        np.testing.assert_array_equal(np.asarray(frames[0], np.float32),
                                       np.asarray(want))
         # proprio parity
         pr = jnp.concatenate([obs["rates"], obs["accel_z"], obs["thrust"]],

@@ -211,6 +211,54 @@ def opponent_ablation(iters=1000, races=1024, agents=4):
     _save("opponent_ablation", out)
 
 
+
+
+def onehot_memory(k=4, p1=800, p2=2700, races=1024):
+    """Frame stack ON TOP of the onehot-informed racer: does temporal
+    memory push past round 3's 88.9-gate flagship?"""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    d = RUNS / f"onehot_memory_k{k}"
+    common = dict(num_envs=races, n_agents=1, gate_onehot=True,
+                  frame_stack=k,
+                  checkpoint_dir=str(d / "ck"), checkpoint_every=200,
+                  log_dir=str(d / "log"), print_every=50)
+    train_vision_race(num_iterations=p1, gate_size=7.0, **common)
+    res = train_vision_race(num_iterations=p2, gate_size=5.0, resume=True,
+                            **common)
+    total = p1 + p2
+    saved = list(range(200, total + 1, 200))
+    peak, peak_train = _peak_step(d / "log", saved, window=200)
+    evals = {}
+    for tag, step in (("peak", peak), ("final", total)):
+        evals[tag] = dict(
+            _eval_vision_race(str(d / "ck"), step, agents=1, gate_size=5.0,
+                              frame_stack=k), step=step)
+    _save(f"onehot_memory_k{k}", {
+        "frame_stack": k,
+        "train_steps_per_s": res.steps_per_second,
+        "peak_step": peak, "peak_train_gates": peak_train,
+        "eval": evals})
+
+
+def ma4_phase2(p2=1000, races=256):
+    """Resume the 4-agent pixel race at the standard 5 m gates (the same
+    two-phase curriculum the solo racers use)."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    d = RUNS / "ma4"  # continues the ma4 checkpoints
+    res = train_vision_race(
+        num_envs=races, n_agents=4, num_iterations=p2, gate_size=5.0,
+        resume=True, checkpoint_dir=str(d / "ck"), checkpoint_every=100,
+        log_dir=str(d / "log"), print_every=50)
+    total = 1500 + p2
+    ev = _eval_vision_race(str(d / "ck"), total, agents=4, gate_size=5.0,
+                           num_envs=32)
+    _save("ma4_phase2", {
+        "train_steps_per_s": res.steps_per_second,
+        "eval_final_gate5": ev})
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("experiment")
