@@ -96,6 +96,17 @@ def measure_vision(n_envs: int = 1024, k1: int = 512, k2: int = 2048):
     return n_envs * (k2 - k1) / (t2 - t1)
 
 
+def measure_vision_trainer(n_envs: int = 1024, iters: int = 30):
+    """End-to-end trained vision env-steps/s with the policy-in-kernel
+    rollout (ops/pallas_policy) at the default recipe — the round-4
+    vision-lane number (BENCH.md)."""
+    from fpyv_tpu.apps.train import train_vision
+
+    res = train_vision(num_envs=n_envs, num_iterations=iters,
+                       scan_chunk=10, print_every=10**9)
+    return res.steps_per_second
+
+
 def main():
     from fpyv_tpu.config import FpyvConfig
     from fpyv_tpu.envs.acro import AcroEnv
@@ -116,6 +127,11 @@ def main():
 
     vision_steps_per_s = measure_vision()
 
+    try:  # trained vision throughput (kernel rollout); never sink the bench
+        vision_train_steps_per_s = round(measure_vision_trainer())
+    except Exception as e:  # pragma: no cover - platform-dependent
+        vision_train_steps_per_s = f"failed: {e!r}"[:200]
+
     print(json.dumps({
         "metric": f"full acro-env steps/s/chip at {N_ENVS} envs",
         "value": round(steps_per_s),
@@ -125,6 +141,7 @@ def main():
         "reference_world_vs_baseline": round(
             ref_steps_per_s / BASELINE_STEPS_PER_S, 4),
         "vision_chase_kernel_steps_per_s_1024": round(vision_steps_per_s),
+        "vision_trained_steps_per_s_1024": vision_train_steps_per_s,
     }))
 
 

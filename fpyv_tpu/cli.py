@@ -124,6 +124,7 @@ def _cmd_train(args):
             randomize_worlds=args.randomize, renderer=args.renderer,
             target_only=args.target_only, torso=args.torso,
             pixel_store=args.pixel_store, rollout=args.rollout,
+            kernel_exact_logprob=not args.kernel_fast_logprob,
             curriculum_iters=args.curriculum,
             **({"update_epochs": args.update_epochs}
                if args.update_epochs else {}),
@@ -370,6 +371,10 @@ def main(argv=None):
                          "weights VMEM-resident; 1.12x at equal recipe, "
                          "BENCH.md r4) when supported, else the XLA scan; "
                          "force with scan/kernel")
+    tp.add_argument("--kernel-fast-logprob", action="store_true",
+                    help="(vision --rollout kernel) trust the kernel's own "
+                         "log_prob/value emissions instead of the exact XLA "
+                         "recompute (1.66x ladder arm, BENCH.md r4)")
     tp.add_argument("--update-epochs", type=int, default=None,
                     help="PPO epochs per iteration (default: trainer's)")
     tp.add_argument("--ent-coef", type=float, default=None,
