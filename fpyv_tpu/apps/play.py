@@ -65,6 +65,7 @@ def play_policy(
     show_opponents: bool = True,  # (vision_race) in-frame opponent ablation
     gate_size: float = 5.0,  # (race/vision_race) must match the trained
     #   track (the gate-size curriculum evaluates at its phase's size)
+    n_obstacles: int = 0,  # (vision_race) moving track obstacles
     save_video: Optional[str] = None,
     video_resolution: Tuple[int, int] = (640, 480),
     chunk: int = 120,  # steps per device call
@@ -138,7 +139,7 @@ def play_policy(
         A = n_agents if n_agents else 1
         env = VisionRaceEnv(
             race=MultiRaceEnv(n_agents=A, max_episode_steps=2000,
-                              gate_size=gate_size),
+                              gate_size=gate_size, n_obstacles=n_obstacles),
             gate_onehot=gate_onehot, frame_stack=frame_stack,
             show_opponents=show_opponents)
         world = env.default_world()

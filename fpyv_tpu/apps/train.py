@@ -498,6 +498,9 @@ def train_vision_race(
     agent_collision_radius: float = 0.35,  # collision curriculum lever
     w_overtake: float = 0.0,  # opponent-conditioned reward term
     show_opponents: bool = True,  # False = in-frame opponent ablation
+    n_obstacles: int = 0,  # moving obstacle spheres orbiting the track
+    #   (rendered in the FPV frame; contact = crash)
+    obstacle_period: int = 600,  # steps per obstacle revolution
 ) -> TrainResult:
     """Gate racing from PIXELS (BASELINE config #4's "gate/track markers"
     clause): single-drone MultiRaceEnv whose observation is the rendered
@@ -512,7 +515,8 @@ def train_vision_race(
         race=MultiRaceEnv(n_agents=n_agents, gate_size=gate_size,
                           max_episode_steps=max_episode_steps,
                           agent_collision_radius=agent_collision_radius,
-                          w_overtake=w_overtake),
+                          w_overtake=w_overtake, n_obstacles=n_obstacles,
+                          obstacle_period=obstacle_period),
         frame_width=frame_width, gate_onehot=gate_onehot,
         frame_stack=frame_stack, show_opponents=show_opponents)
     world = env.default_world()

@@ -70,6 +70,7 @@ def _cmd_train(args):
             max_episode_steps=args.max_episode_steps, torso=args.torso,
             gate_onehot=not args.no_gate_onehot,
             frame_stack=args.frame_stack,
+            n_obstacles=args.obstacles,
             agent_collision_radius=args.collision_radius,
             w_overtake=args.w_overtake,
             show_opponents=not args.no_show_opponents,
@@ -157,7 +158,7 @@ def _cmd_play(args):
         torso=args.torso, gate_onehot=not args.no_gate_onehot,
         frame_stack=args.frame_stack,
         show_opponents=not args.no_show_opponents,
-        gate_size=args.gate_size,
+        gate_size=args.gate_size, n_obstacles=args.obstacles,
         save_video=args.save_video, chunk=args.chunk,
     )
     print(json.dumps(out))
@@ -330,6 +331,9 @@ def main(argv=None):
     tp.add_argument("--frame-stack", type=int, default=1,
                     help="(race --vision) stack the last K depth frames as "
                          "the pixel obs (temporal memory)")
+    tp.add_argument("--obstacles", type=int, default=0,
+                    help="(race --vision) moving obstacle spheres orbiting "
+                         "the track (rendered in-frame; contact = crash)")
     tp.add_argument("--population", type=int, default=256,
                     help="(es) candidates per generation (antithetic pairs)")
     tp.add_argument("--noise-std", type=float, default=0.05,
@@ -412,6 +416,9 @@ def main(argv=None):
     yp.add_argument("--gate-size", type=float, default=5.0,
                     help="(race/vision_race) track gate size — match the "
                          "trained curriculum phase")
+    yp.add_argument("--obstacles", type=int, default=0,
+                    help="(vision_race) moving track obstacles — match "
+                         "training")
     yp.add_argument("--randomize", action="store_true",
                     help="(vision) evaluate on randomized worlds")
     yp.add_argument("--save-video", default=None, metavar="PATH")

@@ -64,6 +64,15 @@ class MultiRaceEnv:
     spawn_height: float = 3.0
     agent_collision_radius: float = 0.35  # ~2 arm radii
     max_episode_steps: int = 2000
+    # Moving obstacles (ROADMAP r3 #4's remaining depth): n_obstacles
+    # spheres ORBIT the gate circle on the reference's CircularPath
+    # (components.py:743-751 machinery), sweeping through the racing line.
+    # Their position is a pure function of episode time (state.t), so no
+    # world state rides the carry and resets rewind them with the episode;
+    # phases spread evenly so the track is never obstacle-free.
+    n_obstacles: int = 0
+    obstacle_radius: float = 0.8
+    obstacle_period: int = 600  # steps per revolution (10 s at 60 fps)
     # reward weights
     w_gate: float = 10.0
     w_progress: float = 1.0
@@ -96,13 +105,56 @@ class MultiRaceEnv:
             np.array([[np.cos(t + np.pi / 2), -np.sin(t + np.pi / 2), 0],
                       [np.sin(t + np.pi / 2), np.cos(t + np.pi / 2), 0],
                       [0, 0, 1.0]]) for t in theta], axis=0)
-        w = empty_world(n_spheres=0, n_cylinders=0, n_gates=self.n_gates,
-                        ground=True, dtype=self.dtype)
-        return w.replace(
+        w = empty_world(n_spheres=self.n_obstacles, n_cylinders=0,
+                        n_gates=self.n_gates, ground=True, dtype=self.dtype)
+        w = w.replace(
             gate_pos=jnp.asarray(pos, self.dtype),
             gate_rotmat=jnp.asarray(rots, self.dtype),
             gate_size=jnp.full((self.n_gates,), self.gate_size, self.dtype),
         )
+        if self.n_obstacles:
+            S = self.n_obstacles
+            center = jnp.asarray([0.0, 0.0, self.gate_height], self.dtype)
+            # phase-spread initial counts around the revolution
+            phases = (np.arange(S) * self.obstacle_period) // max(S, 1)
+            w = w.replace(
+                sphere_radius=jnp.full((S,), self.obstacle_radius,
+                                       self.dtype),
+                sphere_active=jnp.ones((S,), bool),
+                sphere_path_center=jnp.broadcast_to(center, (S, 3)),
+                sphere_path_radius=jnp.full((S,), self.track_radius,
+                                            self.dtype),
+                sphere_path_res=jnp.full((S,), self.obstacle_period,
+                                         jnp.int32),
+                sphere_path_count=jnp.asarray(phases, jnp.int32),
+                sphere_has_path=jnp.ones((S,), bool),
+            )
+            w = w.replace(sphere_center=self._obstacles_at(
+                w, jnp.zeros((), jnp.int32)))
+        return w
+
+    def _obstacles_at(self, world: World, t) -> jnp.ndarray:
+        """Obstacle centers at episode step ``t`` (pure CircularPath
+        arithmetic — position(count0 + t), physics/world.update_targets)."""
+        res = jnp.maximum(world.sphere_path_res, 1)
+        cnt = world.sphere_path_count + t
+        theta = (2.0 * jnp.pi) * (
+            jnp.mod(cnt, res).astype(self.dtype)
+            / res.astype(self.dtype))
+        offset = jnp.stack(
+            [jnp.cos(theta) * world.sphere_path_radius,
+             jnp.sin(theta) * world.sphere_path_radius,
+             jnp.zeros_like(theta)], axis=-1)
+        return jnp.where(world.sphere_has_path[..., None],
+                         world.sphere_path_center + offset,
+                         world.sphere_center)
+
+    def _world_at(self, world: World, t) -> World:
+        """The world as agents experience it at step ``t`` of the episode
+        (moving obstacles advanced; everything else static)."""
+        if not self.n_obstacles:
+            return world
+        return world.replace(sphere_center=self._obstacles_at(world, t))
 
     # ---- helpers ----------------------------------------------------------
 
@@ -205,7 +257,11 @@ class MultiRaceEnv:
         """actions: (..., A, 4). Returns (state, obs, reward (..., A),
         done (...,) env-level, info)."""
         world = self.default_world() if world is None else world
-        drones, _ = drone_step(self.params, state.drones, actions, world,
+        # obstacles advance with episode time BEFORE the physics step
+        # (the reference's target.update() -> drone.step() order,
+        # simulator.py:87/110); collisions see the moved spheres
+        drones, _ = drone_step(self.params, state.drones, actions,
+                               self._world_at(world, state.t + 1),
                                wind=wind)
 
         # inter-agent contact = crash for both (pairwise centers)

@@ -107,17 +107,35 @@ class VisionRaceEnv:
         cam_pos, cam_R = camera_pose(self.rig, pos, R)
         rworld = world
         include = ("gates", "ground")
+        # live sphere bank for the frame: opponents at their traced
+        # positions and/or the track's moving obstacles at episode time t
+        # (both ride the existing sphere raycast; per-agent axes kept)
+        sph_c, sph_r = [], []
         if A > 1 and self.show_opponents:
-            # opponents as spheres at their live positions (static gather
-            # drops self, like multi_race._obs's others block)
+            # opponents as spheres (static gather drops self, like
+            # multi_race._obs's others block)
             idx = np.asarray(
                 [[j for j in range(A) if j != i] for i in range(A)], np.int32)
             others = pos[..., idx, :]  # (..., A, A-1, 3)
+            sph_c.append(others)
+            sph_r.append(jnp.full(others.shape[:-1], self.opponent_radius,
+                                  jnp.float32))
+        if self.race.n_obstacles:
+            obs_c = jax.vmap(lambda t: self.race._obstacles_at(world, t))(
+                state.t)  # (R, S, 3)
+            obs_c = jnp.broadcast_to(obs_c[..., None, :, :],
+                                     obs_c.shape[:-2] + (A,)
+                                     + obs_c.shape[-2:])
+            sph_c.append(obs_c)
+            sph_r.append(jnp.broadcast_to(
+                world.sphere_radius.astype(jnp.float32),
+                obs_c.shape[:-1]))
+        if sph_c:
+            centers = jnp.concatenate(sph_c, axis=-2)
             rworld = world.replace(
-                sphere_center=others,
-                sphere_radius=jnp.full(others.shape[:-1],
-                                       self.opponent_radius, jnp.float32),
-                sphere_active=jnp.ones(others.shape[:-1], bool),
+                sphere_center=centers,
+                sphere_radius=jnp.concatenate(sph_r, axis=-1),
+                sphere_active=jnp.ones(centers.shape[:-1], bool),
             )
             include = ("spheres", "gates", "ground")
         img = render_depth_raycast(

@@ -282,3 +282,68 @@ class TestOpponentKnobs:
         # ranks actually changed hands exactly once in one direction
         assert int(np.asarray(info["overtakes"]).sum()) >= 1
         assert dr.max() > 1.9  # the overtaker earned ~w_overtake
+
+
+class TestMovingObstacles:
+    """Moving track obstacles (ROADMAP r3 depth item): spheres orbiting the
+    gate circle on the reference's CircularPath arithmetic, positions a
+    pure function of episode time."""
+
+    def _env(self, n=2, **kw):
+        return VisionRaceEnv(race=MultiRaceEnv(
+            n_agents=1, n_obstacles=n, **kw))
+
+    def test_obstacles_orbit_with_episode_time(self):
+        race = MultiRaceEnv(n_agents=1, n_obstacles=2, obstacle_period=8)
+        world = race.default_world()
+        p0 = np.asarray(race._obstacles_at(world, jnp.int32(0)))
+        p4 = np.asarray(race._obstacles_at(world, jnp.int32(4)))
+        p8 = np.asarray(race._obstacles_at(world, jnp.int32(8)))
+        # half a revolution flips the position through the center
+        np.testing.assert_allclose(p4[:, :2], -p0[:, :2], atol=1e-4)
+        np.testing.assert_allclose(p8, p0, atol=1e-4)  # full revolution
+        # on the gate circle at gate height
+        r = np.linalg.norm(p0[:, :2], axis=-1)
+        np.testing.assert_allclose(r, race.track_radius, rtol=1e-5)
+        np.testing.assert_allclose(p0[:, 2], race.gate_height)
+        # phase spread: the two obstacles are apart
+        assert np.linalg.norm(p0[0] - p0[1]) > race.track_radius
+
+    def test_obstacle_contact_crashes(self):
+        race = MultiRaceEnv(n_agents=1, n_obstacles=1, obstacle_period=600)
+        world = race.default_world()
+        st, _ = race.reset(jax.random.key(0), world)
+        # park the drone exactly where the obstacle will be at t+1
+        target = race._obstacles_at(world, st.t + 1)[0]
+        st = st.replace(drones=st.drones.replace(
+            pos=target[None, :], vel=jnp.zeros((1, 3), jnp.float32)))
+        _, _, _, _, info = race.step(st, jnp.zeros((1, 4), jnp.float32),
+                                     world)
+        assert bool(np.asarray(info["crashed"])[0])
+
+    def test_obstacles_visible_in_fpv(self):
+        env = self._env(n=3)
+        world = env.default_world()
+        st, _ = env.reset_batched(jax.random.split(jax.random.key(1), 1),
+                                  world)
+        # park the drone 2.5 m behind an obstacle along its spawn heading
+        # (+y, like the opponent-visibility test): the sphere must land on
+        # the sensor
+        target = np.asarray(env.race._obstacles_at(world, st.t[0]))[0]
+        look_from = jnp.asarray(
+            [[[target[0], target[1] - 2.5, 3.0]]], jnp.float32)
+        st = st.replace(drones=st.drones.replace(pos=look_from))
+        ghost = self._env(n=0)  # same track, no obstacles
+        d = (np.abs(np.asarray(env._obs(st, world)["pixels"], np.int32)
+                    - np.asarray(ghost._obs(st, ghost.default_world())
+                                 ["pixels"], np.int32)))
+        assert (d[0, 0] > 0).sum() > 3
+
+    def test_trainer_smoke_with_obstacles(self):
+        from fpyv_tpu.apps.train import train_vision_race
+
+        res = train_vision_race(num_envs=4, num_iterations=3, num_steps=4,
+                                scan_chunk=1, num_minibatches=2,
+                                n_obstacles=2, compute_dtype="f32",
+                                print_every=100)
+        assert np.isfinite(res.mean_reward_last)

@@ -46,7 +46,7 @@ def _peak_step(log_dir, saved_steps, key="mean_gates_passed", window=100):
 
 def _eval_vision_race(ck, step, *, agents, gate_size, frame_stack=1,
                       gate_onehot=True, show_opponents=True, num_envs=64,
-                      steps=2000, seed=7):
+                      steps=2000, seed=7, n_obstacles=0):
     from fpyv_tpu.apps.play import play_policy
 
     return play_policy(
@@ -54,6 +54,7 @@ def _eval_vision_race(ck, step, *, agents, gate_size, frame_stack=1,
         num_envs=num_envs, seed=seed, n_agents=agents,
         gate_onehot=gate_onehot, frame_stack=frame_stack,
         show_opponents=show_opponents, gate_size=gate_size,
+        n_obstacles=n_obstacles,
         step_checkpoint=step, chunk=500)
 
 
@@ -257,6 +258,36 @@ def ma4_phase2(p2=1000, races=256):
     _save("ma4_phase2", {
         "train_steps_per_s": res.steps_per_second,
         "eval_final_gate5": ev})
+
+
+
+def obstacle_race(n=3, k=4, p1=800, p2=1700, races=1024):
+    """Dodge-while-racing: moving obstacle spheres orbit the gate circle,
+    rendered in the FPV frame (contact = crash). Frame-stacked onehot
+    recipe; eval WITH the obstacles and (ablation) the same checkpoint on
+    a clean track."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    d = RUNS / f"obstacle_race_n{n}"
+    common = dict(num_envs=races, n_agents=1, frame_stack=k, n_obstacles=n,
+                  checkpoint_dir=str(d / "ck"), checkpoint_every=200,
+                  log_dir=str(d / "log"), print_every=50)
+    train_vision_race(num_iterations=p1, gate_size=7.0, **common)
+    res = train_vision_race(num_iterations=p2, gate_size=5.0, resume=True,
+                            **common)
+    total = p1 + p2
+    ev = dict(
+        with_obstacles=_eval_vision_race(
+            str(d / "ck"), total, agents=1, gate_size=5.0, frame_stack=k,
+            n_obstacles=n),
+        clean_track=_eval_vision_race(
+            str(d / "ck"), total, agents=1, gate_size=5.0, frame_stack=k,
+            n_obstacles=0),
+    )
+    _save(f"obstacle_race_n{n}", {
+        "n_obstacles": n, "frame_stack": k,
+        "train_steps_per_s": res.steps_per_second,
+        "eval": ev})
 
 
 if __name__ == "__main__":
