@@ -531,9 +531,11 @@ def pallas_policy_vision_rollout(
 
 
 def _policy_pix_block(hw: int, target: int = 1536) -> int:
-    """Largest divisor of hw that is a multiple of lcm(128, PP)=192*?;
-    blocks must align to BOTH the 128-lane tiling and the 64-px patch
-    boundary (so the patchify copies stay static slices)."""
+    """Largest divisor of hw (<= target) aligned to BOTH the 128-lane
+    tiling and the 64-px patch boundary — lcm(128, 64) = 128 — so the
+    render tiles and the patchify copies stay static slices. Larger env
+    blocks pass a smaller target to keep the render's live intermediates
+    inside the VMEM budget."""
     align = np.lcm(128, PP)
     best = align
     for blk in range(align, min(hw, target) + 1, align):
