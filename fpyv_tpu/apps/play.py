@@ -54,7 +54,9 @@ def play_policy(
     num_envs: int = 16,  # eval bank; stats average over it, video shows env 0
     seed: int = 0,
     hidden=(128, 128),  # must match the training net (acro/race)
-    n_agents: int = 4,  # race
+    n_agents: Optional[int] = None,  # drones per race: default 4 for
+    #   'race', 1 for 'vision_race' (a blanket 4 silently evaluated
+    #   single-drone pixel checkpoints in 4-agent scrums)
     randomize_worlds: bool = False,  # vision
     torso: Optional[str] = None,  # vision nets: None = detect from the
     #   checkpoint's param tree (patch_embed vs conv0 keys — ADVICE r3: a
@@ -136,7 +138,7 @@ def play_policy(
         from fpyv_tpu.envs.multi_race import MultiRaceEnv
         from fpyv_tpu.envs.vision_race import VisionRaceEnv
 
-        A = n_agents if n_agents else 1
+        A = n_agents or 1
         env = VisionRaceEnv(
             race=MultiRaceEnv(n_agents=A, max_episode_steps=2000,
                               gate_size=gate_size, n_obstacles=n_obstacles),
@@ -170,10 +172,10 @@ def play_policy(
     elif env_name == "race":
         from fpyv_tpu.envs.multi_race import MultiRaceEnv
 
-        env = MultiRaceEnv(n_agents=n_agents, gate_size=gate_size)
+        A = n_agents or 4
+        env = MultiRaceEnv(n_agents=A, gate_size=gate_size)
         world = env.default_world()
         net = ActorCritic(action_dim=4, hidden=tuple(hidden))
-        A = n_agents
 
         def reset_fn(keys):
             return jax.vmap(lambda k: env.reset(k, world))(keys)
