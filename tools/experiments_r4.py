@@ -290,6 +290,47 @@ def obstacle_race(n=3, k=4, p1=800, p2=1700, races=1024):
         "eval": ev})
 
 
+
+def ma4_framestack(k=4, iters=1500, races=256):
+    """4-agent pixel race WITH temporal memory (every other config gained
+    from the stack; ma4 trained single-frame)."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    d = RUNS / f"ma4_fs{k}"
+    res = train_vision_race(
+        num_envs=races, n_agents=4, num_iterations=iters, gate_size=7.0,
+        frame_stack=k,
+        checkpoint_dir=str(d / "ck"), checkpoint_every=100,
+        log_dir=str(d / "log"), print_every=50)
+    saved = list(range(100, iters + 1, 100))
+    peak, peak_train = _peak_step(d / "log", saved)
+    evals = {}
+    for tag, step in (("peak", peak), ("final", iters)):
+        evals[tag] = dict(_eval_vision_race(str(d / "ck"), step, agents=4,
+                                            gate_size=7.0, frame_stack=k,
+                                            num_envs=32), step=step)
+    _save(f"ma4_fs{k}", {
+        "frame_stack": k,
+        "train_steps_per_s": res.steps_per_second,
+        "peak_step": peak, "peak_train_gates": peak_train,
+        "eval": evals})
+
+
+def distributed_race_smoke(iters=60, races=256):
+    """Real-chip compile + run of the distributed shared-policy race
+    program (the CPU-mesh tests cover 8-way sharding; this receipts the
+    TPU lowering of the shard_map race iteration)."""
+    from fpyv_tpu.apps.train import train_race
+
+    res = train_race(num_envs=races, n_agents=4, num_iterations=iters,
+                     distributed=True, gate_size=7.0, scan_chunk=20,
+                     print_every=20)
+    _save("distributed_race_smoke", {
+        "train_steps_per_s": res.steps_per_second,
+        "reward_first": res.mean_reward_first,
+        "reward_last": res.mean_reward_last})
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("experiment")
