@@ -83,6 +83,10 @@ def _cmd_train(args):
         if args.algo != "ppo":
             raise SystemExit("--env race runs shared-policy PPO "
                              "(no --algo es|sac)")
+        if args.obstacles:
+            raise SystemExit("--obstacles is a vision-race feature (the "
+                             "state observation carries no obstacle "
+                             "information) — add --vision")
         res = train_race(
             num_envs=num_envs,
             n_agents=args.agents if args.agents is not None else 4,
