@@ -196,11 +196,15 @@ class TestDistributedRace:
 
 @pytest.mark.slow
 class TestDcnTwoProcess:
-    def test_hybrid_mesh_two_process_ppo(self, tmp_path):
-        """VERDICT #6: make_hybrid_mesh's multi-process (DCN) branch actually
-        executes — 2 coordinated processes x 4 virtual CPU devices each run
-        one distributed PPO iteration over the global 8-device mesh
-        (multi-controller SPMD; gRPC stands in for DCN)."""
+    @pytest.mark.parametrize("workload", ["rotate", "race"])
+    def test_hybrid_mesh_two_process_ppo(self, tmp_path, workload):
+        """VERDICT #6 / BASELINE #5: make_hybrid_mesh's multi-process (DCN)
+        branch actually executes — 2 coordinated processes x 4 virtual CPU
+        devices each run one distributed PPO iteration over the global
+        8-device mesh (multi-controller SPMD; gRPC stands in for DCN).
+        The "race" workload runs the shared-policy multi-agent race layout
+        (MultiRaceState carry P('env'), flat race-major agent batch) — the
+        ">=2 hosts" clause of config #5 under true multi-process SPMD."""
         import json
         import socket
         import subprocess
@@ -219,7 +223,7 @@ class TestDcnTwoProcess:
         procs = [
             subprocess.Popen(
                 [sys.executable, str(repo / "tools" / "dcn_worker.py"),
-                 str(i), "2", coord],
+                 str(i), "2", coord, workload],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 cwd=repo, env=env, text=True)
             for i in range(2)

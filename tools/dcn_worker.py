@@ -8,7 +8,14 @@ global mesh is 8, and one distributed PPO iteration runs over it —
 multi-controller SPMD exactly as on a 2-host v5e slice, with gRPC standing
 in for DCN.
 
-Usage: python tools/dcn_worker.py <process_id> <num_processes> <coord_addr>
+Usage: python tools/dcn_worker.py <process_id> <num_processes> <coord_addr> \
+           [rotate|race]
+
+The optional 4th arg picks the workload: "rotate" (default, the original
+attitude env) or "race" — the shared-policy multi-agent race layout
+(BASELINE config #5's "sharded across >=2 hosts" clause: MultiRaceState
+carry P('env') on the race axis, flat race-major agent batch) under true
+multi-process SPMD.
 """
 
 import json
@@ -20,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     proc_id, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    workload = sys.argv[4] if len(sys.argv) > 4 else "rotate"
 
     import jax
 
@@ -47,18 +55,42 @@ def main():
     owners = [d.process_index for d in flat]
     assert owners == sorted(owners), owners
 
-    num_envs, T = 32, 8
-    env = RotateEnv()
-    net = ActorCritic(action_dim=3, hidden=(16,))
-    config = PpoConfig(num_envs=num_envs, num_steps=T, update_epochs=1,
-                       num_minibatches=2, shuffle_block=1)
+    T = 8
+    if workload == "race":
+        from fpyv_tpu.envs.multi_race import (MultiRaceEnv,
+                                              make_shared_policy_env_step)
 
-    def env_step(env_state, action, key):
-        st, obs, r, d, _ = jax.vmap(env.step)(env_state, action)
-        return st, obs.reshape(obs.shape[0], -1), r, d
+        A, n_races = 2, 32
+        renv = MultiRaceEnv(n_agents=A, max_episode_steps=64)
+        env_step, reset_fn = make_shared_policy_env_step(
+            renv, renv.default_world(), n_envs=n_races)
+        net = ActorCritic(action_dim=4, hidden=(16,))
+        num_envs = n_races * A  # flat race-major agent batch
+        config = PpoConfig(num_envs=num_envs, num_steps=T, update_epochs=1,
+                           num_minibatches=2, shuffle_block=1)
+        apply_fn = net.apply
 
-    def apply_fn(params, obs):  # obs arrives flattened (N, 18)
-        return net.apply(params, obs)
+        def build_env():
+            return reset_fn(jax.random.key(0))
+
+    else:
+        num_envs = 32
+        env = RotateEnv()
+        net = ActorCritic(action_dim=3, hidden=(16,))
+        config = PpoConfig(num_envs=num_envs, num_steps=T, update_epochs=1,
+                           num_minibatches=2, shuffle_block=1)
+
+        def env_step(env_state, action, key):
+            st, obs, r, d, _ = jax.vmap(env.step)(env_state, action)
+            return st, obs.reshape(obs.shape[0], -1), r, d
+
+        def apply_fn(params, obs):  # obs arrives flattened (N, 18)
+            return net.apply(params, obs)
+
+        def build_env():
+            env_state, obs = jax.vmap(env.reset)(
+                jax.random.split(jax.random.key(0), num_envs))
+            return env_state, obs.reshape(num_envs, -1)
 
     init, train_iteration = make_distributed_ppo(
         apply_fn, env_step, config, mesh)
@@ -66,9 +98,7 @@ def main():
     # multi-controller: every process runs the SAME global program; build
     # the sharded state inside jit so no host->global transfers are needed
     def build():
-        env_state, obs = jax.vmap(env.reset)(
-            jax.random.split(jax.random.key(0), num_envs))
-        obs = obs.reshape(num_envs, -1)
+        env_state, obs = build_env()
         params = net.init(jax.random.key(1), obs[:1])
         return init(params, env_state, obs,
                     jax.random.split(jax.random.key(2), mesh.size))
@@ -91,6 +121,7 @@ def main():
 
     print(json.dumps({
         "ok": all(jnp.isfinite(jnp.asarray(losses)).tolist()),
+        "workload": workload,
         "process_id": proc_id,
         "process_count": jax.process_count(),
         "mesh_size": int(mesh.size),
