@@ -40,6 +40,17 @@ def _detect_torso(params, fallback: str = "patch") -> str:
     return fallback
 
 
+def _detect_patch_pool(params) -> int:
+    """Infer patch_pool from the checkpoint's param tree: the 'patch_pool'
+    Dense (if trained with pooling) has kernel (pool*embed, embed)."""
+    inner = params.get("params", params) if hasattr(params, "get") else params
+    try:
+        wp = inner["patch_pool"]["kernel"]
+    except (KeyError, TypeError):
+        return 1
+    return int(wp.shape[0]) // int(wp.shape[1])
+
+
 def _video_rig(resolution: Tuple[int, int]):
     from fpyv_tpu.vision.camera import CameraRig
 
@@ -115,7 +126,8 @@ def play_policy(
             world0, bank = env.make_world()
             worlds = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), world0)
-        net = PixelActorCritic(action_dim=4, torso=torso)
+        net = PixelActorCritic(action_dim=4, torso=torso,
+                               patch_pool=_detect_patch_pool(params))
 
         def _proprio(obs):
             return jnp.concatenate(
@@ -145,7 +157,8 @@ def play_policy(
             gate_onehot=gate_onehot, frame_stack=frame_stack,
             show_opponents=show_opponents)
         world = env.default_world()
-        net = PixelActorCritic(action_dim=4, torso=torso)
+        net = PixelActorCritic(action_dim=4, torso=torso,
+                               patch_pool=_detect_patch_pool(params))
 
         def _vr_proprio(obs):
             return jnp.concatenate(

@@ -466,6 +466,67 @@ def train_sac(
     )
 
 
+def _train_vision_race_kernel(
+    venv, keys, *, num_envs, num_iterations, num_steps, log_dir,
+    checkpoint_dir, checkpoint_every, resume, learning_rate, print_every,
+    scan_chunk, num_minibatches, update_epochs, ent_coef, compute_dtype,
+    patch_pool=1, adam_mu_dtype=None, e_blk=32, exact_logprob=True,
+) -> TrainResult:
+    """train_vision_race's rollout='kernel' path: the race policy-in-kernel
+    rollout (ops/pallas_race) feeding the unchanged XLA PPO learner.
+
+    The PPO carry's env_state is ``(cols (N, RROWS), hist)``; checkpoints
+    interoperate with the scan path at the PARAMS level (identical net
+    parameter tree — a kernel-trained racer evaluates through
+    apps/play.play_policy's scan env and vice versa), not at the env-state
+    level."""
+    from fpyv_tpu.models.policy import PixelActorCritic
+    from fpyv_tpu.ops.pallas_race import make_kernel_race_ppo_parts
+
+    k_env, k_net, k_train = keys
+    world = venv.default_world()
+    net = PixelActorCritic(action_dim=4, torso="patch", prepatched=True,
+                           compute_dtype=compute_dtype,
+                           patch_pool=patch_pool)
+    config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
+                       learning_rate=learning_rate,
+                       num_minibatches=num_minibatches,
+                       update_epochs=update_epochs, ent_coef=ent_coef,
+                       adam_mu_dtype=adam_mu_dtype)
+    interpret = jax.default_backend() != "tpu"
+    (apply_fn, make_rollout_fn, obs_from_carry, init_carry,
+     race_metrics) = make_kernel_race_ppo_parts(
+        venv, world, net, num_envs, e_blk=e_blk, interpret=interpret)
+
+    carry = init_carry(jax.random.split(k_env, num_envs))
+    obs0 = obs_from_carry(carry)
+    params = net.init(
+        k_net,
+        obs0["pixels"][:1].reshape(1, -1, venv.frame_stack * 64),
+        obs0["proprio"][:1])
+
+    init, train_iteration = make_ppo(
+        apply_fn, None, config,
+        rollout_fn=make_rollout_fn(num_steps, compute_dtype=compute_dtype,
+                                   exact_logprob=exact_logprob,
+                                   patch_pool=patch_pool),
+        metrics_fn=race_metrics)
+    state = init(params, carry, obs0, k_train)
+
+    start_iter = 0
+    if resume and checkpoint_dir and latest_step(checkpoint_dir) is not None:
+        start_iter = latest_step(checkpoint_dir)
+        state = restore_checkpoint(checkpoint_dir, start_iter, template=state)
+        print(f"resumed from checkpoint at iteration {start_iter}")
+
+    return _train_loop(
+        state, train_iteration, num_envs=num_envs, num_steps=num_steps,
+        num_iterations=num_iterations, start_iter=start_iter,
+        scan_chunk=scan_chunk, log_dir=log_dir, print_every=print_every,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
+
+
 def train_vision_race(
     num_envs: int = 1024,  # race instances (learner batch = num_envs * A)
     n_agents: int = 1,  # >1 = multi-agent vision racing: every agent sees
@@ -593,7 +654,7 @@ def _train_vision_kernel(
     venv, worlds, bank, keys, *, num_envs, num_iterations, num_steps,
     log_dir, checkpoint_dir, checkpoint_every, resume, learning_rate,
     print_every, scan_chunk, num_minibatches, update_epochs, compute_dtype,
-    exact_logprob=True,
+    exact_logprob=True, patch_pool=1, adam_mu_dtype=None, e_blk=32,
 ) -> TrainResult:
     """train_vision's rollout='kernel' path: the policy-in-kernel pallas
     rollout (ops/pallas_policy) feeding the unchanged XLA PPO learner.
@@ -607,14 +668,16 @@ def _train_vision_kernel(
 
     k_env, k_net, k_train = keys
     net = PixelActorCritic(action_dim=4, torso="patch", prepatched=True,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype,
+                           patch_pool=patch_pool)
     config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
                        learning_rate=learning_rate,
                        num_minibatches=num_minibatches,
-                       update_epochs=update_epochs)
+                       update_epochs=update_epochs,
+                       adam_mu_dtype=adam_mu_dtype)
     interpret = jax.default_backend() != "tpu"
     apply_fn, make_rollout_fn, obs_from_cols = make_kernel_vision_ppo_parts(
-        venv, worlds, net, num_envs, interpret=interpret)
+        venv, worlds, net, num_envs, e_blk=e_blk, interpret=interpret)
 
     env_keys = jax.random.split(k_env, num_envs)
     env_state, obs = venv.reset_batched(env_keys, worlds, bank)
@@ -677,6 +740,13 @@ def train_vision(
     curriculum_iters: Optional[int] = None,  # ramp world difficulty 0 -> 1
     #   over this many iterations (obstacle count/size; requires
     #   randomize_worlds); worlds resample every chunk at the ramped level
+    patch_pool: int = 1,  # pooled-patch fc (models/policy.patch_pool):
+    #   groups of N consecutive patch embeddings mix through one
+    #   Dense(embed) before the fc, shrinking the learner's biggest matmul
+    #   contraction N-fold (VERDICT r4 #1). 1 = original architecture.
+    adam_mu_dtype: Optional[str] = None,  # "bf16" stores adam's first
+    #   moment in bfloat16 (rl/ppo.PpoConfig.adam_mu_dtype)
+    e_blk: int = 32,  # (rollout='kernel') envs per kernel program instance
     kernel_exact_logprob: bool = True,  # (rollout='kernel') True recomputes
     #   log_prob/value with the XLA forward over stored obs (epoch-0 ratio
     #   exactly 1); False trusts the kernel's own emissions (one fewer
@@ -762,14 +832,16 @@ def train_vision(
             resume=resume, learning_rate=learning_rate,
             print_every=print_every, scan_chunk=scan_chunk,
             num_minibatches=num_minibatches, update_epochs=update_epochs,
-            compute_dtype=cdt, exact_logprob=kernel_exact_logprob)
+            compute_dtype=cdt, exact_logprob=kernel_exact_logprob,
+            patch_pool=patch_pool, adam_mu_dtype=adam_mu_dtype, e_blk=e_blk)
     net = PixelActorCritic(
         action_dim=4, torso=torso,
-        compute_dtype=cdt)
+        compute_dtype=cdt, patch_pool=patch_pool)
     config = PpoConfig(num_envs=num_envs, num_steps=num_steps,
                        learning_rate=learning_rate,
                        num_minibatches=num_minibatches,
-                       update_epochs=update_epochs)
+                       update_epochs=update_epochs,
+                       adam_mu_dtype=adam_mu_dtype)
 
     def apply_fn(params, obs):
         proprio = jnp.concatenate(

@@ -131,6 +131,8 @@ def _cmd_train(args):
             pixel_store=args.pixel_store, rollout=args.rollout,
             kernel_exact_logprob=not args.kernel_fast_logprob,
             curriculum_iters=args.curriculum,
+            patch_pool=args.patch_pool,
+            adam_mu_dtype=args.adam_mu_dtype,
             **({"update_epochs": args.update_epochs}
                if args.update_epochs else {}),
         )
@@ -385,6 +387,13 @@ def main(argv=None):
                          "recompute (1.66x ladder arm, BENCH.md r4)")
     tp.add_argument("--update-epochs", type=int, default=None,
                     help="PPO epochs per iteration (default: trainer's)")
+    tp.add_argument("--patch-pool", type=int, default=1,
+                    help="(vision) pooled-patch fc: mix groups of N "
+                         "consecutive patch embeddings through one "
+                         "Dense(embed) before the fc stack — shrinks the "
+                         "learner's biggest matmul N-fold (VERDICT r4 #1)")
+    tp.add_argument("--adam-mu-dtype", choices=["bf16"], default=None,
+                    help="store adam's first moment in bfloat16")
     tp.add_argument("--ent-coef", type=float, default=None,
                     help="PPO entropy bonus (default: trainer's; the pixel "
                          "racer uses 0.01 against entropy collapse)")

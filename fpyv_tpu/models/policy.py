@@ -100,8 +100,27 @@ class PixelActorCritic(fnn.Module):
     # ops/pallas_policy); parameters and outputs are identical to the
     # (..., H, W) path — the embed sees the same 64 pixels either way
     prepatched: bool = False
+    # Pooled-patch fc (VERDICT r4 #1): mix groups of `patch_pool`
+    # CONSECUTIVE patch embeddings (patch-major order) through one learned
+    # Dense(embed) before the fc stack. The fc contraction — the learner's
+    # single biggest matmul (n_patches*embed+proprio = 13952 wide at 96x72)
+    # — shrinks by the pool factor; the pool layer itself is a good MXU
+    # shape (contraction patch_pool*embed). 1 = off (original parameters).
+    patch_pool: int = 1
     log_std_min: float = -5.0  # see ActorCritic.log_std_min
     log_std_max: float = 1.5
+
+    def _pool(self, x, dt):
+        """(..., NP, embed) -> (..., NP/pool, embed) learned group mixing."""
+        if self.patch_pool <= 1:
+            return x
+        NP = x.shape[-2]
+        if NP % self.patch_pool:
+            raise ValueError(
+                f"patch_pool={self.patch_pool} must divide n_patches={NP}")
+        x = x.reshape(x.shape[:-2] + (NP // self.patch_pool,
+                                      self.patch_pool * self.embed))
+        return fnn.relu(fnn.Dense(self.embed, name="patch_pool", dtype=dt)(x))
 
     @fnn.compact
     def __call__(self, pixels, proprio) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -129,6 +148,7 @@ class PixelActorCritic(fnn.Module):
                 x = x.astype(dt)
             x = fnn.relu(fnn.Dense(self.embed, name="patch_embed",
                                    dtype=dt)(x))
+            x = self._pool(x, dt)
             x = x.reshape(pixels.shape[:-2] + (-1,))
             x = jnp.concatenate([x, proprio.astype(x.dtype)], axis=-1)
             for i, h in enumerate(self.hidden):
@@ -166,6 +186,7 @@ class PixelActorCritic(fnn.Module):
             if dt is not None:
                 x = x.astype(dt)
             x = fnn.relu(fnn.Dense(self.embed, name="patch_embed", dtype=dt)(x))
+            x = self._pool(x, dt)
             x = x.reshape(lead + (-1,))
         else:
             x = jnp.moveaxis(pixels, -3, -1)  # -> NHWC with K channels

@@ -110,6 +110,10 @@ class PolicyWeights(NamedTuple):
 
     we: jnp.ndarray  # (PP, embed)
     be: jnp.ndarray  # (1, embed)
+    wp: jnp.ndarray  # (pool*embed, embed) pooled-patch mixer — or an
+    #                    (8, embed) zero dummy when patch_pool == 1 (kept in
+    #                    the tuple so the kernel arity is static)
+    bp: jnp.ndarray  # (1, embed) (dummy zeros when patch_pool == 1)
     wf: jnp.ndarray  # (KF_pad, hidden) — rows [patch-flat, proprio, 0-pad]
     bf: jnp.ndarray  # (1, hidden)
     wm: jnp.ndarray  # (hidden, 8) f32 — cols 0:4 = pi_mean, col 4 = v_out
@@ -121,11 +125,20 @@ class PolicyWeights(NamedTuple):
 
 def build_policy_weights(params, n_patches: int, compute_dtype=jnp.bfloat16,
                          log_std_min: float = -5.0,
-                         log_std_max: float = 1.5) -> PolicyWeights:
+                         log_std_max: float = 1.5,
+                         patch_pool: int = 1) -> PolicyWeights:
     p = params["params"] if "params" in params else params
     dt = jnp.float32 if compute_dtype is None else compute_dtype
     we = p["patch_embed"]["kernel"].astype(dt)
     be = p["patch_embed"]["bias"].astype(dt)[None, :]
+    embed = we.shape[1]
+    if patch_pool > 1:
+        wp = p["patch_pool"]["kernel"].astype(dt)
+        bp = p["patch_pool"]["bias"].astype(dt)[None, :]
+        assert wp.shape == (patch_pool * embed, embed)
+    else:
+        wp = jnp.zeros((8, embed), dt)
+        bp = jnp.zeros((1, embed), dt)
     wf_raw = p["fc0"]["kernel"]  # (NP*embed + P_prop, hidden)
     kf = wf_raw.shape[0]
     kf_pad = -(-kf // 128) * 128
@@ -142,7 +155,8 @@ def build_policy_weights(params, n_patches: int, compute_dtype=jnp.bfloat16,
                        log_std_max)
     std = jnp.zeros((1, 8), jnp.float32).at[0, :4].set(jnp.exp(log_std))
     std = std.at[0, 4:8].set(log_std)
-    return PolicyWeights(we=we, be=be, wf=wf, bf=bf, wm=wm, bm=bm, std=std)
+    return PolicyWeights(we=we, be=be, wp=wp, bp=bp, wf=wf, bf=bf, wm=wm,
+                         bm=bm, std=std)
 
 
 class _EnvCfg(NamedTuple):
@@ -178,21 +192,22 @@ def _acro_cfg(env: AcroEnv) -> _EnvCfg:
 
 
 def _kernel(params, ecfg: _EnvCfg, rcfg: _RenderCfg, rig: CameraRig,
-            e_blk: int, n_steps: int, pix_blk: int, compute_dtype,
+            e_blk: int, n_steps: int, pix_blk: int, compute_dtype, pool: int,
             # refs
             seed_ref, state_in, wcol_ref, dcam_ref,
-            we_ref, be_ref, wf_ref, bf_ref, wm_ref, bm_ref, std_ref,
-            frames_out, extra_out, aux_out, state_out,
-            frame_s, embed_s, fcin_s, state_s):
+            we_ref, be_ref, wp_ref, bp_ref, wf_ref, bf_ref, wm_ref, bm_ref,
+            std_ref, frames_out, extra_out, aux_out, state_out,
+            frame_s, embed_s, fcin_s, state_s, pool_s=None):
     E = e_blk
     hw = rcfg.hw
     NP = hw // PP
+    NPG = NP // pool  # fc patch blocks after pooling (== NP when pool == 1)
     b = pl.program_id(0)
     k = pl.program_id(1)
     dt = jnp.float32 if compute_dtype is None else compute_dtype
 
     kf_pad = wf_ref.shape[0]
-    NP_flat = (hw // PP) * 128
+    NP_flat = NPG * 128
 
     @pl.when(k == 0)
     def _():
@@ -280,9 +295,25 @@ def _kernel(params, ecfg: _EnvCfg, rcfg: _RenderCfg, rig: CameraRig,
         embed_s[:, :], we_ref[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dt)
     emb = jnp.maximum(emb + be_ref[:, :], 0.0)  # (NP*E, embed) relu
-    for p in range(NP):
-        fcin_s[:, p * 128:(p + 1) * 128] = emb[p * E:(p + 1) * E, :]
-    n_flat = NP * 128
+    if pool > 1:
+        # pooled-patch mixing (models/policy.PixelActorCritic patch_pool):
+        # group `pool` consecutive patches (patch-major order — the same
+        # grouping the net's reshape produces), concat their embeds, one
+        # Dense(embed) per group. The fc contraction shrinks pool-fold.
+        for g in range(NPG):
+            for j in range(pool):
+                pool_s[g * E:(g + 1) * E, j * 128:(j + 1) * 128] = (
+                    emb[(g * pool + j) * E:(g * pool + j + 1) * E, :])
+        pooled = jax.lax.dot_general(
+            pool_s[:, :], wp_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        pooled = jnp.maximum(pooled + bp_ref[:, :], 0.0)  # (NPG*E, embed)
+        for g in range(NPG):
+            fcin_s[:, g * 128:(g + 1) * 128] = pooled[g * E:(g + 1) * E, :]
+    else:
+        for p in range(NP):
+            fcin_s[:, p * 128:(p + 1) * 128] = emb[p * E:(p + 1) * E, :]
+    n_flat = NPG * 128
     # 8-wide aligned store (13824 is 128-aligned); wf rows past the real
     # proprio rows are zero, so the 3 pad columns contribute nothing
     prop = jnp.concatenate([r0, r1, r2, az_n, th_n, zero, zero, zero],
@@ -388,10 +419,10 @@ def _kernel(params, ecfg: _EnvCfg, rcfg: _RenderCfg, rig: CameraRig,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "ecfg", "rcfg", "rig", "e_blk", "n_steps",
-                     "pix_blk", "compute_dtype", "interpret"))
+                     "pix_blk", "compute_dtype", "patch_pool", "interpret"))
 def _call_policy_rollout(params, ecfg, rcfg, rig, e_blk, n_steps, pix_blk,
-                         compute_dtype, interpret, seed, state_mat, wcol,
-                         dcam, weights: PolicyWeights):
+                         compute_dtype, patch_pool, interpret, seed,
+                         state_mat, wcol, dcam, weights: PolicyWeights):
     N = state_mat.shape[0]
     hw = rcfg.hw
     n_blocks = N // e_blk
@@ -400,7 +431,7 @@ def _call_policy_rollout(params, ecfg, rcfg, rig, e_blk, n_steps, pix_blk,
     kf_pad = weights.wf.shape[0]
     hidden = weights.wf.shape[1]
     kernel = functools.partial(_kernel, params, ecfg, rcfg, rig, e_blk,
-                               n_steps, pix_blk, compute_dtype)
+                               n_steps, pix_blk, compute_dtype, patch_pool)
     full = lambda a: pl.BlockSpec(a.shape, lambda b, k: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     blk_state = pl.BlockSpec((e_blk, ROWS), lambda b, k: (b, 0),
@@ -410,12 +441,22 @@ def _call_policy_rollout(params, ecfg, rcfg, rig, e_blk, n_steps, pix_blk,
     step_out = lambda cols: pl.BlockSpec((1, e_blk, cols),
                                          lambda b, k: (k, b, 0),
                                          memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((e_blk, hw), jnp.bfloat16),         # frame
+        pltpu.VMEM((NP * e_blk, PP), dt),              # embed input
+        pltpu.VMEM((e_blk, kf_pad), dt),               # fc input
+        pltpu.VMEM((e_blk, ROWS), jnp.float32),        # state carry
+    ]
+    if patch_pool > 1:
+        scratch.append(pltpu.VMEM(((NP // patch_pool) * e_blk,
+                                   patch_pool * 128), dt))  # pool input
     frames, extra, aux, state_out = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_steps),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   blk_state, blk_wcol, full(dcam),
-                  full(weights.we), full(weights.be), full(weights.wf),
+                  full(weights.we), full(weights.be), full(weights.wp),
+                  full(weights.bp), full(weights.wf),
                   full(weights.bf), full(weights.wm), full(weights.bm),
                   full(weights.std)],
         out_specs=(step_out(hw), step_out(8), step_out(8), blk_state),
@@ -425,12 +466,7 @@ def _call_policy_rollout(params, ecfg, rcfg, rig, e_blk, n_steps, pix_blk,
             jax.ShapeDtypeStruct((n_steps, N, 8), jnp.float32),
             jax.ShapeDtypeStruct((N, ROWS), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((e_blk, hw), jnp.bfloat16),         # frame
-            pltpu.VMEM((NP * e_blk, PP), dt),              # embed input
-            pltpu.VMEM((e_blk, kf_pad), dt),               # fc input
-            pltpu.VMEM((e_blk, ROWS), jnp.float32),        # state carry
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32).reshape(1), state_mat, wcol, dcam,
       *weights)
@@ -495,6 +531,7 @@ def pallas_policy_vision_rollout(
     frame_width: float = 0.08,
     e_blk: int = 32,
     compute_dtype=jnp.bfloat16,
+    patch_pool: int = 1,
     interpret: bool = False,
 ):
     """K policy-driven env steps in one kernel.
@@ -526,8 +563,8 @@ def pallas_policy_vision_rollout(
     pix_blk = _policy_pix_block(hw, target=1536 if e_blk <= 32 else 768)
     return _call_policy_rollout(env.params, _acro_cfg(env), rcfg, rig,
                                 e_blk, n_steps, pix_blk, compute_dtype,
-                                interpret, seed, state_cols, wcol, dcam,
-                                weights)
+                                patch_pool, interpret, seed, state_cols,
+                                wcol, dcam, weights)
 
 
 def _policy_pix_block(hw: int, target: int = 1536) -> int:
@@ -617,13 +654,15 @@ def make_kernel_vision_ppo_parts(venv, worlds: World, net, num_envs: int,
                 state.params, n_patches=(rig.resolution[0] // PATCH)
                 * (rig.resolution[1] // PATCH),
                 compute_dtype=compute_dtype,
-                log_std_min=net.log_std_min, log_std_max=net.log_std_max)
+                log_std_min=net.log_std_min, log_std_max=net.log_std_max,
+                patch_pool=net.patch_pool)
             frames, extra, aux, cols_out = pallas_policy_vision_rollout(
                 env, rig, state.env_state, worlds, weights, num_steps,
                 seed, venv.max_depth, include=include,
                 ground_extent=venv.ground_extent,
                 frame_width=venv.frame_width, e_blk=e_blk,
-                compute_dtype=compute_dtype, interpret=interpret)
+                compute_dtype=compute_dtype, patch_pool=net.patch_pool,
+                interpret=interpret)
             obs = {"pixels": frames.astype(jnp.uint8),
                    "proprio": extra[..., :5]}
             action = aux[..., 0:4]

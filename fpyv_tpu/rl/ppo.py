@@ -34,6 +34,11 @@ class PpoConfig:
     max_grad_norm: float = 0.5
     learning_rate: float = 3e-4
     axis_name: Optional[str] = None  # mesh axis for cross-device grad pmean
+    # Adam first-moment accumulator dtype: "bf16" halves the optimizer's
+    # largest HBM-resident buffer and its per-minibatch read+write traffic
+    # (optax's sanctioned mu_dtype knob; the second moment stays f32 — its
+    # sqrt is precision-sensitive). None = f32 (exact round-3 optimizer).
+    adam_mu_dtype: Optional[str] = None
     # Shuffle granularity in rows of the flattened (T*N) batch. Row gathers
     # serialize on TPU (~1 element/cycle — the same bound as the vision
     # scatter, BENCH.md), so exact per-row shuffling (=1) costs more than the
@@ -97,7 +102,9 @@ def make_ppo(
     """
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.learning_rate, eps=1e-5),
+        optax.adam(config.learning_rate, eps=1e-5,
+                   mu_dtype=(jnp.bfloat16 if config.adam_mu_dtype == "bf16"
+                             else None)),
     )
 
     def init(params, env_state, obs0, key) -> PpoState:

@@ -25,7 +25,7 @@ RIG = CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
 N = 16
 
 
-def _setup(n_cylinders=2, seed=0):
+def _setup(n_cylinders=2, seed=0, patch_pool=1):
     env = AcroEnv(params=DroneParams(att_mode="quat"))
     venv = VisionAcroEnv(acro=env, rig=RIG, renderer="raycast",
                          target_only=False, pixel_dtype="u8")
@@ -34,7 +34,7 @@ def _setup(n_cylinders=2, seed=0):
     keys = jax.random.split(jax.random.key(seed + 1), N)
     state, obs = venv.reset_batched(keys, worlds, bank)
     net = PixelActorCritic(action_dim=4, torso="patch", prepatched=True,
-                           compute_dtype=None)
+                           compute_dtype=None, patch_pool=patch_pool)
     px0 = prepatch_pixels(obs["pixels"][:1]).reshape(1, -1, 64)
     pr0 = jnp.concatenate([obs["rates"][:1], obs["accel_z"][:1],
                            obs["thrust"][:1]], axis=-1)
@@ -58,6 +58,78 @@ class TestPrepatch:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    atol=1e-6)
+
+
+class TestPatchPool:
+    def test_pooled_net_matches_prepatched(self):
+        """patch_pool: the standard (H, W) path and the prepatched
+        patch-major path produce identical outputs with shared params."""
+        env, venv, worlds, bank, state, obs, net, params = _setup(
+            patch_pool=4)
+        std_net = PixelActorCritic(action_dim=4, torso="patch",
+                                   compute_dtype=None, patch_pool=4)
+        pr = jnp.concatenate([obs["rates"], obs["accel_z"], obs["thrust"]],
+                             axis=-1)
+        m1, _, v1 = std_net.apply(params, obs["pixels"], pr)
+        px = prepatch_pixels(obs["pixels"]).reshape(N, -1, 64)
+        m2, _, v2 = net.apply(params, px, pr)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+        # the fc contraction really shrinks pool-fold (+ proprio rows)
+        p = params["params"]
+        assert p["fc0"]["kernel"].shape[0] == (12 // 4) * 128 + 5
+
+    def test_pool_must_divide_patches(self):
+        net = PixelActorCritic(action_dim=4, torso="patch", patch_pool=5,
+                               compute_dtype=None)
+        with pytest.raises(ValueError):
+            net.init(jax.random.key(0), jnp.zeros((1, 24, 32)),
+                     jnp.zeros((1, 5)))
+
+    def test_kernel_pool_single_step_parity(self):
+        """pool=4 in-kernel forward == the XLA pooled net (policy mean and
+        value), plus the physics advance stays env-parity."""
+        env, venv, worlds, bank, state, obs, net, params = _setup(
+            patch_pool=4)
+        w = build_policy_weights(params, n_patches=12, compute_dtype=None,
+                                 patch_pool=4)
+        w = w._replace(std=jnp.zeros_like(w.std))
+        cols = acro_state_to_cols(state)
+        frames, extra, aux, cols_out = pallas_policy_vision_rollout(
+            env, RIG, cols, worlds, w, 1, 7, venv.max_depth,
+            frame_width=venv.frame_width, e_blk=8, compute_dtype=None,
+            patch_pool=4, interpret=True)
+        pr = jnp.concatenate([obs["rates"], obs["accel_z"], obs["thrust"]],
+                             axis=-1)
+        px = prepatch_pixels(obs["pixels"]).reshape(N, -1, 64)
+        mean, _, value = net.apply(params, px, pr)
+        np.testing.assert_allclose(np.asarray(aux[0, :, :4]),
+                                   np.asarray(mean), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(aux[0, :, 6]),
+                                   np.asarray(value), atol=5e-5)
+        a = aux[0, :, :4]
+        st2, _, r2, d2, info2 = jax.vmap(
+            lambda s, ac, wd: env.step(s, ac, wd))(state, a, worlds)
+        np.testing.assert_allclose(np.asarray(aux[0, :, 4]),
+                                   np.asarray(r2), atol=1e-5)
+
+    def test_kernel_pool_ppo_iteration(self):
+        from fpyv_tpu.rl.ppo import PpoConfig, make_ppo
+
+        env, venv, worlds, bank, state, obs, net, params = _setup(
+            patch_pool=4)
+        apply_fn, make_rollout_fn, obs_from_cols = \
+            make_kernel_vision_ppo_parts(venv, worlds, net, N, e_blk=8,
+                                         interpret=True)
+        config = PpoConfig(num_envs=N, num_steps=4, update_epochs=1,
+                           num_minibatches=2, adam_mu_dtype="bf16")
+        init, iteration = make_ppo(
+            apply_fn, None, config,
+            rollout_fn=make_rollout_fn(4, compute_dtype=None))
+        cols = acro_state_to_cols(state)
+        st = init(params, cols, obs_from_cols(cols), jax.random.key(0))
+        st2, info = iteration(st)
+        assert np.isfinite(float(np.asarray(info["loss"])))
 
 
 class TestKernelRollout:
