@@ -562,6 +562,18 @@ def train_vision_race(
     n_obstacles: int = 0,  # moving obstacle spheres orbiting the track
     #   (rendered in the FPV frame; contact = crash)
     obstacle_period: int = 600,  # steps per obstacle revolution
+    rollout: str = "auto",  # "kernel" = the race policy-in-kernel rollout
+    #   (ops/pallas_race): render + K-frame stack + patch-embed actor +
+    #   full race step (gate passing, obstacles, respawn) fused as ONE
+    #   pallas launch, weights VMEM-resident. Requires n_agents == 1,
+    #   torso='patch', no distributed. "scan" = the XLA per-step rollout.
+    #   "auto" currently resolves to scan (the kernel flips in once its
+    #   seed-matched convergence A/B lands — BENCH.md round 5).
+    patch_pool: int = 1,  # pooled-patch fc (models/policy.patch_pool)
+    adam_mu_dtype: Optional[str] = None,  # "bf16" adam first moment
+    e_blk: int = 32,  # (rollout='kernel') envs per kernel program
+    kernel_exact_logprob: bool = True,  # see train_vision
+    rig=None,  # camera rig override (tests use a small one)
 ) -> TrainResult:
     """Gate racing from PIXELS (BASELINE config #4's "gate/track markers"
     clause): single-drone MultiRaceEnv whose observation is the rendered
@@ -579,15 +591,39 @@ def train_vision_race(
                           w_overtake=w_overtake, n_obstacles=n_obstacles,
                           obstacle_period=obstacle_period),
         frame_width=frame_width, gate_onehot=gate_onehot,
-        frame_stack=frame_stack, show_opponents=show_opponents)
+        frame_stack=frame_stack, show_opponents=show_opponents,
+        **({"rig": rig} if rig is not None else {}))
+    if rollout == "auto":
+        rollout = "scan"  # kernel flip gated on the convergence A/B
+    if rollout == "kernel":
+        if n_agents != 1:
+            raise ValueError("rollout='kernel' is single-agent (multi-agent "
+                             "FPV views read cross-env opponent positions)")
+        if torso != "patch" or distributed:
+            raise ValueError("rollout='kernel' requires torso='patch' and "
+                             "no distributed")
+        key = jax.random.key(seed)
+        k_env, k_net, k_train = jax.random.split(key, 3)
+        return _train_vision_race_kernel(
+            venv=env, keys=(k_env, k_net, k_train), num_envs=num_envs,
+            num_iterations=num_iterations, num_steps=num_steps,
+            log_dir=log_dir, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every, resume=resume,
+            learning_rate=learning_rate, print_every=print_every,
+            scan_chunk=scan_chunk, num_minibatches=num_minibatches,
+            update_epochs=update_epochs, ent_coef=ent_coef,
+            compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
+            patch_pool=patch_pool, adam_mu_dtype=adam_mu_dtype, e_blk=e_blk,
+            exact_logprob=kernel_exact_logprob)
     world = env.default_world()
     net = PixelActorCritic(
-        action_dim=4, torso=torso,
+        action_dim=4, torso=torso, patch_pool=patch_pool,
         compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None)
     config = PpoConfig(num_envs=num_envs * n_agents, num_steps=num_steps,
                        learning_rate=learning_rate,
                        num_minibatches=num_minibatches,
-                       update_epochs=update_epochs, ent_coef=ent_coef)
+                       update_epochs=update_epochs, ent_coef=ent_coef,
+                       adam_mu_dtype=adam_mu_dtype)
 
     def proprio(obs):
         return jnp.concatenate(

@@ -74,6 +74,10 @@ def _cmd_train(args):
             agent_collision_radius=args.collision_radius,
             w_overtake=args.w_overtake,
             show_opponents=not args.no_show_opponents,
+            rollout=args.rollout,
+            patch_pool=args.patch_pool,
+            adam_mu_dtype=args.adam_mu_dtype,
+            kernel_exact_logprob=not args.kernel_fast_logprob,
             **({"update_epochs": args.update_epochs}
                if args.update_epochs else {}),
             **({"ent_coef": args.ent_coef}
@@ -376,11 +380,12 @@ def main(argv=None):
                     help="(vision) rollout pixel storage dtype (u8 exact)")
     tp.add_argument("--rollout", choices=["auto", "scan", "kernel"],
                     default="auto",
-                    help="(vision) rollout engine: the policy-in-kernel "
-                         "pallas megaloop (render + actor + env step fused, "
-                         "weights VMEM-resident; 1.12x at equal recipe, "
-                         "BENCH.md r4) when supported, else the XLA scan; "
-                         "force with scan/kernel")
+                    help="(vision / race --vision) rollout engine: the "
+                         "policy-in-kernel pallas megaloop (render + actor "
+                         "+ env step fused, weights VMEM-resident; the race "
+                         "variant adds gate state + K-frame stacks in-"
+                         "kernel) when supported, else the XLA scan; force "
+                         "with scan/kernel")
     tp.add_argument("--kernel-fast-logprob", action="store_true",
                     help="(vision --rollout kernel) trust the kernel's own "
                          "log_prob/value emissions instead of the exact XLA "

@@ -141,13 +141,18 @@ def _world_cols(cfg: _RenderCfg, world: World, n: int) -> jnp.ndarray:
     return jnp.concatenate(cols, axis=-1)
 
 
-def _render_tiles(cfg: _RenderCfg, dcam, cam, wcol, chase_only: bool = False):
+def _render_tiles(cfg: _RenderCfg, dcam, cam, wcol, chase_only: bool = False,
+                  spheres_override=None):
     """Nearest-hit t over (8, HW) tiles.
 
     dcam: (3, HW) rows; cam: (8, 16) [pos(3) R00..R22 row-major pad];
     wcol: (8, WCOLS) per-env world scalars (layout in :func:`_world_cols`).
     ``chase_only`` restricts to sphere 0 (the reference's target-only view,
-    simulator.py:102/127).
+    simulator.py:102/127).  ``spheres_override`` (optional) is a list of
+    (cx, cy, cz, r, active) column tuples used INSTEAD of wcol's sphere
+    block — the race kernel's moving obstacles recompute their centers
+    from episode time each step (envs/multi_race._obstacles_at), so their
+    positions are per-step values, not baked world columns.
     """
     col = lambda m, j: m[:, j:j + 1]  # (8, 1)
     dxr, dyr, dzr = dcam[0:1, :], dcam[1:2, :], dcam[2:3, :]
@@ -168,11 +173,17 @@ def _render_tiles(cfg: _RenderCfg, dcam, cam, wcol, chase_only: bool = False):
         a = dwx * dwx + dwy * dwy + dwz * dwz
         for s in range(1 if chase_only else S):
             o = s * 5
-            ox = px - col(wcol, o + 0)
-            oy = py - col(wcol, o + 1)
-            oz = pz - col(wcol, o + 2)
-            r = col(wcol, o + 3)
-            act = col(wcol, o + 4) > 0.5
+            if spheres_override is not None:
+                scx, scy, scz, sr2, sact = spheres_override[s]
+                ox, oy, oz = px - scx, py - scy, pz - scz
+                r = sr2
+                act = sact > 0.5
+            else:
+                ox = px - col(wcol, o + 0)
+                oy = py - col(wcol, o + 1)
+                oz = pz - col(wcol, o + 2)
+                r = col(wcol, o + 3)
+                act = col(wcol, o + 4) > 0.5
             b = ox * dwx + oy * dwy + oz * dwz
             c = ox * ox + oy * oy + oz * oz - r * r
             disc = b * b - a * c

@@ -87,13 +87,16 @@ def hardest_ext(extra=4000, races=1024):
     and locate the ceiling like onehot_memory_k4_ext did."""
     from fpyv_tpu.apps.train import train_vision_race
 
+    from fpyv_tpu.utils.checkpoint import latest_step
+
     d = _continue_from_r4("hardest_vision", "hardest_ext")
+    start = latest_step(str(d / "ck")) or 2000
     res = train_vision_race(
         num_envs=races, n_agents=1, num_iterations=extra, gate_size=5.0,
         gate_onehot=False, frame_stack=4, n_obstacles=3, resume=True,
         checkpoint_dir=str(d / "ck"), checkpoint_every=200,
         log_dir=str(d / "log"), print_every=50)
-    total = 2000 + extra
+    total = start + extra
     saved = list(range(2200, total + 1, 200))
     peak, peak_train = _peak_step(d / "log", saved)
     evals = {}
@@ -105,6 +108,25 @@ def hardest_ext(extra=4000, races=1024):
     _save("hardest_ext", {
         "total_iters": total,
         "train_steps_per_s": res.steps_per_second,
+        "peak_step": peak, "peak_train_gates": peak_train,
+        "eval": evals})
+
+
+def hardest_ext_eval(total=6000, train_sps=0):
+    """Eval-only recovery for hardest_ext (the training finished and saved
+    every checkpoint; the in-process eval died on a mid-run source edit)."""
+    d = RUNS / "hardest_ext"
+    saved = list(range(2200, total + 1, 200))
+    peak, peak_train = _peak_step(d / "log", saved)
+    evals = {}
+    for tag, step in (("peak", peak), ("final", total)):
+        evals[tag] = dict(
+            _eval_vision_race(str(d / "ck"), step, agents=1, gate_size=5.0,
+                              frame_stack=4, gate_onehot=False,
+                              n_obstacles=3), step=step)
+    _save("hardest_ext", {
+        "total_iters": total,
+        "train_steps_per_s": train_sps or None,
         "peak_step": peak, "peak_train_gates": peak_train,
         "eval": evals})
 
