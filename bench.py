@@ -107,6 +107,39 @@ def measure_vision_trainer(n_envs: int = 1024, iters: int = 30):
     return res.steps_per_second
 
 
+def measure_vision_race_trainer(n_envs: int = 1024, iters: int = 30):
+    """Trained vision_race env-steps/s at the flagship recipe (4-frame
+    stack, onehot, 5 m gates) — the racing-lane trainer number (VERDICT r4
+    #9: the bench line should capture the capability story, not just acro).
+    Rollout 'auto' picks whatever the convergence A/B crowned."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    res = train_vision_race(num_envs=n_envs, num_iterations=iters,
+                            frame_stack=4, gate_size=5.0, scan_chunk=10,
+                            print_every=10**9)
+    return res.steps_per_second
+
+
+def measure_flagship_gates():
+    """Deterministic-eval gates of the shipped flagship racer checkpoint
+    (runs/flagship/meta.json names the recipe + play kwargs). None when no
+    flagship checkpoint ships with the repo."""
+    import json as _json
+    from pathlib import Path
+
+    meta_p = Path(__file__).resolve().parent / "runs" / "flagship" / "meta.json"
+    if not meta_p.exists():
+        return None
+    meta = _json.loads(meta_p.read_text())
+    from fpyv_tpu.apps.play import play_policy
+
+    out = play_policy(
+        checkpoint_dir=str(meta_p.parent / "ck"), env_name="vision_race",
+        steps=2000, num_envs=32, chunk=500, **meta.get("play_kwargs", {}))
+    return {"gates": out["final_gates_passed_mean"],
+            "recipe": meta.get("recipe")}
+
+
 def main():
     from fpyv_tpu.config import FpyvConfig
     from fpyv_tpu.envs.acro import AcroEnv
@@ -132,6 +165,15 @@ def main():
     except Exception as e:  # pragma: no cover - platform-dependent
         vision_train_steps_per_s = f"failed: {e!r}"[:200]
 
+    try:  # racing lane: trained steps/s + shipped-flagship eval gates
+        race_train_steps_per_s = round(measure_vision_race_trainer())
+    except Exception as e:  # pragma: no cover - platform-dependent
+        race_train_steps_per_s = f"failed: {e!r}"[:200]
+    try:
+        flagship = measure_flagship_gates()
+    except Exception as e:  # pragma: no cover - platform-dependent
+        flagship = f"failed: {e!r}"[:200]
+
     print(json.dumps({
         "metric": f"full acro-env steps/s/chip at {N_ENVS} envs",
         "value": round(steps_per_s),
@@ -142,6 +184,8 @@ def main():
             ref_steps_per_s / BASELINE_STEPS_PER_S, 4),
         "vision_chase_kernel_steps_per_s_1024": round(vision_steps_per_s),
         "vision_trained_steps_per_s_1024": vision_train_steps_per_s,
+        "vision_race_trained_steps_per_s_1024": race_train_steps_per_s,
+        "flagship_vision_race_eval": flagship,
     }))
 
 

@@ -51,6 +51,16 @@ def _detect_patch_pool(params) -> int:
     return int(wp.shape[0]) // int(wp.shape[1])
 
 
+def _detect_gru(params) -> int:
+    """Infer the GRU width from the checkpoint's param tree (the 'gru'
+    GRUCell's hidden-to-z kernel is (H, H)); 0 = feedforward checkpoint."""
+    inner = params.get("params", params) if hasattr(params, "get") else params
+    try:
+        return int(inner["gru"]["hz"]["kernel"].shape[-1])
+    except (KeyError, TypeError):
+        return 0
+
+
 def _video_rig(resolution: Tuple[int, int]):
     from fpyv_tpu.vision.camera import CameraRig
 
@@ -79,6 +89,10 @@ def play_policy(
     gate_size: float = 5.0,  # (race/vision_race) must match the trained
     #   track (the gate-size curriculum evaluates at its phase's size)
     n_obstacles: int = 0,  # (vision_race) moving track obstacles
+    permute_spawns: bool = False,  # (race/vision_race) per-episode random
+    #   spawn-slot assignment. Default False: a fixed-slot eval of a
+    #   permutation-trained policy measures slot ROBUSTNESS (agent i always
+    #   in slot i), not statistical averaging over slots.
     save_video: Optional[str] = None,
     video_resolution: Tuple[int, int] = (640, 480),
     chunk: int = 120,  # steps per device call
@@ -153,40 +167,67 @@ def play_policy(
         A = n_agents or 1
         env = VisionRaceEnv(
             race=MultiRaceEnv(n_agents=A, max_episode_steps=2000,
-                              gate_size=gate_size, n_obstacles=n_obstacles),
+                              gate_size=gate_size, n_obstacles=n_obstacles,
+                              permute_spawns=permute_spawns),
             gate_onehot=gate_onehot, frame_stack=frame_stack,
             show_opponents=show_opponents)
         world = env.default_world()
+        gru = _detect_gru(params)
         net = PixelActorCritic(action_dim=4, torso=torso,
-                               patch_pool=_detect_patch_pool(params))
+                               patch_pool=_detect_patch_pool(params),
+                               gru=gru)
 
         def _vr_proprio(obs):
             return jnp.concatenate(
                 [obs["rates"], obs["accel_z"], obs["thrust"],
                  obs["gate_onehot"]], axis=-1)
 
-        def reset_fn(keys):
-            return env.reset_batched(keys, world)
-
-        def step_fn(st, obs):
-            mean, _, _ = net.apply(params, obs["pixels"], _vr_proprio(obs))
-            st, obs, r, d, info = env.step_batched(st, mean, world)
+        def _extra(info):
             extra = {"gates_passed": info["gates_passed"]}
             if A > 1:  # per-agent eval table counters (VERDICT r3 #4)
                 extra["agent_gates"] = info["gates_passed"].reshape(-1, A)
                 extra["sum_contact_events"] = info["contact"]
                 extra["sum_overtakes"] = info["overtakes"]
-            return st, obs, r, info["crashed"], extra
+            return extra
 
-        def frame_state(st):
-            rs = getattr(st, "race", st)
-            return jax.tree.map(lambda x: x[0, 0], rs.drones), world
+        if gru:
+            # recurrent checkpoint: the hidden rides the play carry and
+            # zeroes on episode boundaries, exactly like training
+            def reset_fn(keys):
+                st, obs = env.reset_batched(keys, world)
+                return (st, jnp.zeros((num_envs * A, gru), jnp.float32)), obs
+
+            def step_fn(carry, obs):
+                st, h = carry
+                mean, _, _, h2 = net.apply(
+                    params, obs["pixels"], _vr_proprio(obs), h)
+                st, obs, r, d, info = env.step_batched(st, mean, world)
+                h2 = jnp.where(info["crashed"][..., None], 0.0, h2)
+                return (st, h2), obs, r, info["crashed"], _extra(info)
+
+            def frame_state(carry):
+                rs = getattr(carry[0], "race", carry[0])
+                return jax.tree.map(lambda x: x[0, 0], rs.drones), world
+        else:
+            def reset_fn(keys):
+                return env.reset_batched(keys, world)
+
+            def step_fn(st, obs):
+                mean, _, _ = net.apply(params, obs["pixels"],
+                                       _vr_proprio(obs))
+                st, obs, r, d, info = env.step_batched(st, mean, world)
+                return st, obs, r, info["crashed"], _extra(info)
+
+            def frame_state(st):
+                rs = getattr(st, "race", st)
+                return jax.tree.map(lambda x: x[0, 0], rs.drones), world
 
     elif env_name == "race":
         from fpyv_tpu.envs.multi_race import MultiRaceEnv
 
         A = n_agents or 4
-        env = MultiRaceEnv(n_agents=A, gate_size=gate_size)
+        env = MultiRaceEnv(n_agents=A, gate_size=gate_size,
+                           permute_spawns=permute_spawns)
         world = env.default_world()
         net = ActorCritic(action_dim=4, hidden=tuple(hidden))
 

@@ -179,6 +179,8 @@ def train_race(
     #   radius (VERDICT r3 #4: collision pressure destabilizes late training)
     w_overtake: float = 0.0,  # opponent-conditioned reward (multi_race)
     others_in_obs: bool = True,  # False = opponent-relpos ablation
+    permute_spawns: bool = False,  # per-episode random slot assignment
+    #   (multi_race.permute_spawns — the VERDICT r4 #4 role-lock-in fix)
 ) -> TrainResult:
     """Shared-policy PPO on the multi-agent race env (BASELINE config #5).
 
@@ -195,7 +197,8 @@ def train_race(
     env = MultiRaceEnv(n_agents=n_agents, gate_size=gate_size,
                        max_episode_steps=max_episode_steps,
                        agent_collision_radius=agent_collision_radius,
-                       w_overtake=w_overtake, others_in_obs=others_in_obs)
+                       w_overtake=w_overtake, others_in_obs=others_in_obs,
+                       permute_spawns=permute_spawns)
     world = env.default_world()
     env_step, reset_fn = make_shared_policy_env_step(env, world, n_envs=num_envs)
     net = ActorCritic(action_dim=4, hidden=tuple(hidden))
@@ -573,6 +576,12 @@ def train_vision_race(
     adam_mu_dtype: Optional[str] = None,  # "bf16" adam first moment
     e_blk: int = 32,  # (rollout='kernel') envs per kernel program
     kernel_exact_logprob: bool = True,  # see train_vision
+    gru: int = 0,  # recurrent temporal memory (VERDICT r4 #6): a GRU of
+    #   this width between torso and heads (models/policy.PixelActorCritic
+    #   .gru) trained with the sequence-minibatched recurrent PPO
+    #   (rl/ppo.make_recurrent_ppo). The alternative to frame_stack — frame
+    #   stacking measured NEGATIVE at 4 agents (runs/r4/ma4_fs4), so
+    #   multi-agent racing needs a recurrent mechanism. Scan rollout only.
     rig=None,  # camera rig override (tests use a small one)
 ) -> TrainResult:
     """Gate racing from PIXELS (BASELINE config #4's "gate/track markers"
@@ -595,6 +604,11 @@ def train_vision_race(
         **({"rig": rig} if rig is not None else {}))
     if rollout == "auto":
         rollout = "scan"  # kernel flip gated on the convergence A/B
+    if gru and rollout == "kernel":
+        raise ValueError("gru runs on the scan rollout (the kernel's "
+                         "temporal mechanism is the K-frame stack)")
+    if gru and distributed:
+        raise ValueError("gru + distributed is not wired yet")
     if rollout == "kernel":
         if n_agents != 1:
             raise ValueError("rollout='kernel' is single-agent (multi-agent "
@@ -617,7 +631,7 @@ def train_vision_race(
             exact_logprob=kernel_exact_logprob)
     world = env.default_world()
     net = PixelActorCritic(
-        action_dim=4, torso=torso, patch_pool=patch_pool,
+        action_dim=4, torso=torso, patch_pool=patch_pool, gru=gru,
         compute_dtype=jnp.bfloat16 if compute_dtype == "bf16" else None)
     config = PpoConfig(num_envs=num_envs * n_agents, num_steps=num_steps,
                        learning_rate=learning_rate,
@@ -651,6 +665,35 @@ def train_vision_race(
     k_env, k_net, k_train = jax.random.split(key, 3)
     env_state, obs = env.reset_batched(jax.random.split(k_env, num_envs),
                                        world)
+    if gru:
+        from fpyv_tpu.rl.ppo import make_recurrent_ppo
+
+        hidden0 = jnp.zeros((num_envs * n_agents, gru), jnp.float32)
+        params = net.init(k_net, obs["pixels"][:1], proprio(obs)[:1],
+                          hidden0[:1])
+
+        def apply_fn_r(params, obs, hidden):
+            return net.apply(params, obs["pixels"], proprio(obs), hidden)
+
+        init, train_iteration = make_recurrent_ppo(
+            apply_fn_r, env_step, config, metrics_fn=race_metrics)
+        state = init(params, env_state, obs, hidden0, k_train)
+
+        start_iter = 0
+        if (resume and checkpoint_dir
+                and latest_step(checkpoint_dir) is not None):
+            start_iter = latest_step(checkpoint_dir)
+            state = restore_checkpoint(checkpoint_dir, start_iter,
+                                       template=state)
+            print(f"resumed from checkpoint at iteration {start_iter}")
+
+        return _train_loop(
+            state, train_iteration, num_envs=num_envs * n_agents,
+            num_steps=num_steps, num_iterations=num_iterations,
+            start_iter=start_iter, scan_chunk=scan_chunk, log_dir=log_dir,
+            print_every=print_every, checkpoint_dir=checkpoint_dir,
+            checkpoint_every=checkpoint_every,
+        )
     params = net.init(k_net, obs["pixels"][:1], proprio(obs)[:1])
     if distributed:
         from fpyv_tpu.parallel.mesh import make_mesh

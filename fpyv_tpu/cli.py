@@ -70,6 +70,7 @@ def _cmd_train(args):
             max_episode_steps=args.max_episode_steps, torso=args.torso,
             gate_onehot=not args.no_gate_onehot,
             frame_stack=args.frame_stack,
+            gru=args.gru,
             n_obstacles=args.obstacles,
             agent_collision_radius=args.collision_radius,
             w_overtake=args.w_overtake,
@@ -103,6 +104,7 @@ def _cmd_train(args):
             agent_collision_radius=args.collision_radius,
             w_overtake=args.w_overtake,
             others_in_obs=not args.no_others_obs,
+            permute_spawns=args.permute_spawns,
         )
     elif args.algo == "es":
         res = train_es(
@@ -332,6 +334,10 @@ def main(argv=None):
     tp.add_argument("--no-others-obs", action="store_true",
                     help="(race, state obs) zero the opponent-relpos obs "
                          "block (ablation)")
+    tp.add_argument("--permute-spawns", action="store_true",
+                    help="(race) randomly assign agents to spawn-ring slots "
+                         "each episode so self-play roles cannot attach to "
+                         "spawn positions (the r4 role-lock-in fix)")
     tp.add_argument("--no-show-opponents", action="store_true",
                     help="(race --vision) do not render opponents in the "
                          "FPV frame (ablation)")
@@ -341,6 +347,11 @@ def main(argv=None):
     tp.add_argument("--frame-stack", type=int, default=1,
                     help="(race --vision) stack the last K depth frames as "
                          "the pixel obs (temporal memory)")
+    tp.add_argument("--gru", type=int, default=0,
+                    help="(race --vision) recurrent temporal memory: GRU "
+                         "width between torso and heads, trained with the "
+                         "sequence-minibatched recurrent PPO (alternative "
+                         "to --frame-stack; scan rollout only)")
     tp.add_argument("--obstacles", type=int, default=0,
                     help="(race --vision) moving obstacle spheres orbiting "
                          "the track (rendered in-frame; contact = crash)")

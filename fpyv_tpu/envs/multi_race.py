@@ -87,6 +87,16 @@ class MultiRaceEnv:
     # unchanged, like vision_race.gate_onehot) — measures whether the
     # policy reads its opponents at all.
     others_in_obs: bool = True
+    # Per-episode random assignment of agents to spawn-ring slots
+    # (VERDICT r4 #4): with fixed slots, 4-agent self-play locks into
+    # spawn roles — agent index i always starts at ring angle 2*pi*i/A, so
+    # the shared policy learns slot-conditioned behaviors (measured r4:
+    # per-agent gates [16.4, 3.5, 53.8, 19.4] after 4500 iters). Permuting
+    # the slot assignment every episode decouples identity from position;
+    # roles can no longer attach to spawn slots during training. Off by
+    # default (exact round-4 reset semantics; eval keeps fixed slots so
+    # the per-agent table measures slot robustness, not averaging).
+    permute_spawns: bool = False
     dtype: type = jnp.float32
 
     # ---- track ------------------------------------------------------------
@@ -227,6 +237,8 @@ class MultiRaceEnv:
             [self.track_radius + jnp.cos(angles) * self.spawn_radius,
              -3.0 - self.spawn_radius + jnp.sin(angles) * self.spawn_radius,
              jnp.full((A,), self.spawn_height, self.dtype)], axis=-1)
+        if self.permute_spawns:
+            base = base[jax.random.permutation(ka, A)]
         jitter = 0.3 * jax.random.normal(kp, (A, 3), self.dtype)
         ypr = jnp.zeros((A, 3), self.dtype).at[:, 2].set(90.0)  # face +y
         return drone_reset(self.params, base + jitter,

@@ -107,6 +107,15 @@ class PixelActorCritic(fnn.Module):
     # — shrinks by the pool factor; the pool layer itself is a good MXU
     # shape (contraction patch_pool*embed). 1 = off (original parameters).
     patch_pool: int = 1
+    # Recurrent temporal memory (VERDICT r4 #6): a GRU cell between the
+    # torso and the heads. Frame stacking measured NEGATIVE at 4 agents
+    # (runs/r4/ma4_fs4) so multi-agent racing had no working temporal
+    # mechanism; the GRU is the untaken branch of r3 #3 ("frame stack
+    # and/or GRU"). When > 0, __call__ takes (pixels, proprio, hidden) and
+    # returns (mean, log_std, value, hidden'); training goes through
+    # rl/ppo.make_recurrent_ppo (sequence-minibatched learner). 0 = off
+    # (exact feedforward parameters and signature).
+    gru: int = 0
     log_std_min: float = -5.0  # see ActorCritic.log_std_min
     log_std_max: float = 1.5
 
@@ -122,8 +131,29 @@ class PixelActorCritic(fnn.Module):
                                       self.patch_pool * self.embed))
         return fnn.relu(fnn.Dense(self.embed, name="patch_pool", dtype=dt)(x))
 
+    def _heads(self, x, hidden):
+        """Shared head block: optional GRU (f32 — tiny vs the torso) then
+        Gaussian policy + value. Returns 3-tuple (feedforward) or 4-tuple
+        with the new hidden (gru > 0)."""
+        x = x.astype(jnp.float32)
+        if self.gru:
+            hidden, x = fnn.GRUCell(features=self.gru, name="gru")(hidden, x)
+        mean = fnn.Dense(
+            self.action_dim, name="pi_mean",
+            kernel_init=fnn.initializers.orthogonal(0.01),
+        )(x)
+        log_std = self.param(
+            "log_std", fnn.initializers.constant(self.log_std_init),
+            (self.action_dim,), jnp.float32,
+        )
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
+        value = fnn.Dense(1, name="v_out")(x)[..., 0]
+        if self.gru:
+            return mean, log_std, value, hidden
+        return mean, log_std, value
+
     @fnn.compact
-    def __call__(self, pixels, proprio) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    def __call__(self, pixels, proprio, hidden=None):
         """pixels (..., H, W) — or (..., K, H, W) for a K-frame stack
         (newest-last temporal memory, VERDICT r3 #3) — in [0,1] f32/bf16 OR
         uint8 levels (converted here — storing rollout pixels as uint8
@@ -153,18 +183,7 @@ class PixelActorCritic(fnn.Module):
             x = jnp.concatenate([x, proprio.astype(x.dtype)], axis=-1)
             for i, h in enumerate(self.hidden):
                 x = fnn.relu(fnn.Dense(h, name=f"fc{i}", dtype=dt)(x))
-            x = x.astype(jnp.float32)
-            mean = fnn.Dense(
-                self.action_dim, name="pi_mean",
-                kernel_init=fnn.initializers.orthogonal(0.01),
-            )(x)
-            log_std = self.param(
-                "log_std", fnn.initializers.constant(self.log_std_init),
-                (self.action_dim,), jnp.float32,
-            )
-            log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
-            value = fnn.Dense(1, name="v_out")(x)[..., 0]
-            return mean, log_std, value
+            return self._heads(x, hidden)
         stacked = pixels.ndim >= 3 and proprio.ndim + 1 < pixels.ndim
         K = pixels.shape[-3] if stacked else 1
         if not stacked:
@@ -201,18 +220,8 @@ class PixelActorCritic(fnn.Module):
             [x, proprio.astype(x.dtype)], axis=-1)
         for i, h in enumerate(self.hidden):
             x = fnn.relu(fnn.Dense(h, name=f"fc{i}", dtype=dt)(x))
-        x = x.astype(jnp.float32)  # heads in f32: log_prob/value numerics
-        mean = fnn.Dense(
-            self.action_dim, name="pi_mean",
-            kernel_init=fnn.initializers.orthogonal(0.01),
-        )(x)
-        log_std = self.param(
-            "log_std", fnn.initializers.constant(self.log_std_init),
-            (self.action_dim,), jnp.float32,
-        )
-        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
-        value = fnn.Dense(1, name="v_out")(x)[..., 0]
-        return mean, log_std, value
+        # heads in f32: log_prob/value numerics
+        return self._heads(x, hidden)
 
 
 class SquashedGaussianActor(fnn.Module):

@@ -241,6 +241,181 @@ def make_ppo(
     return init, train_iteration
 
 
+def make_recurrent_ppo(
+    apply_fn: Callable,  # apply_fn(params, obs, hidden) ->
+    #   (mean, log_std, value, hidden')
+    env_step: Callable,  # env_step(env_state, action, key) ->
+    #   (env_state, obs, reward, done)
+    config: PpoConfig,
+    metrics_fn: Optional[Callable] = None,
+):
+    """Recurrent PPO (VERDICT r4 #6): a GRU policy over vectorized envs.
+
+    Differences from ``make_ppo``:
+
+    - ``apply_fn`` threads a hidden state; the rollout carries it per env
+      and zeroes it where ``done`` fires (``done`` doubles as the hidden
+      reset mask, so pass EPISODE BOUNDARIES — the vision race env's
+      flattened ``crashed`` already includes whole-race resets).
+    - The hidden rides ``PpoState.env_state`` as ``(env_state, hidden)``;
+      checkpoints capture it like any other carry leaf.
+    - The learner is SEQUENCE-minibatched: minibatches are subsets of envs
+      with their full T-step sequences (the flattened-row shuffle of the
+      feedforward learner would detach steps from the hidden chain). Each
+      epoch re-scans every sequence from the iteration's initial hidden,
+      replaying the rollout's resets from ``batch.done`` — truncated BPTT
+      with the rollout length T as the window.
+    """
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.learning_rate, eps=1e-5,
+                   mu_dtype=(jnp.bfloat16 if config.adam_mu_dtype == "bf16"
+                             else None)),
+    )
+
+    def init(params, env_state, obs0, hidden0, key) -> PpoState:
+        return PpoState(
+            params=params,
+            opt_state=tx.init(params),
+            env_state=(env_state, hidden0),
+            last_obs=obs0,
+            key=key,
+            update_count=jnp.zeros((), jnp.int32),
+        )
+
+    def _rollout(state: PpoState):
+        def body(carry, _):
+            (env_state, hidden), obs, key = carry
+            key, ka, ks = jax.random.split(key, 3)
+            mean, log_std, value, h2 = apply_fn(state.params, obs, hidden)
+            noise = jax.random.normal(ka, mean.shape, mean.dtype)
+            action = mean + jnp.exp(log_std) * noise
+            log_prob = gaussian_log_prob(mean, log_std, action)
+            env_state, next_obs, reward, done = env_step(env_state, action, ks)
+            h2 = jnp.where(done[..., None], 0.0, h2)
+            t = Transition(
+                obs=obs, action=action, log_prob=log_prob,
+                value=value, reward=reward, done=done,
+            )
+            return ((env_state, h2), next_obs, key), t
+
+        (carry_env, last_obs, key), traj = jax.lax.scan(
+            body, (state.env_state, state.last_obs, state.key),
+            None, length=config.num_steps,
+        )
+        return carry_env, last_obs, key, traj
+
+    def _seq_loss(params, batch: Transition, h0, advantages, targets):
+        """batch leaves (T, M, ...); h0 (M, H); adv/targets (T, M)."""
+
+        def step(h, inp):
+            obs_t, action_t, done_t = inp
+            mean, log_std, value, h2 = apply_fn(params, obs_t, h)
+            lp = gaussian_log_prob(mean, log_std, action_t)
+            h2 = jnp.where(done_t[..., None], 0.0, h2)
+            return h2, (lp, value, log_std)
+
+        _, (log_prob, value, log_std) = jax.lax.scan(
+            step, h0, (batch.obs, batch.action, batch.done))
+        ratio = jnp.exp(log_prob - batch.log_prob)
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1.0 - config.clip_eps, 1.0 + config.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_clipped = batch.value + jnp.clip(
+            value - batch.value, -config.clip_eps, config.clip_eps
+        )
+        v_loss = 0.5 * jnp.mean(
+            jnp.maximum((value - targets) ** 2, (v_clipped - targets) ** 2)
+        )
+        ent = jnp.mean(gaussian_entropy(log_std[0]))
+        total = pg_loss + config.vf_coef * v_loss - config.ent_coef * ent
+        return total, {
+            "pg_loss": pg_loss, "v_loss": v_loss, "entropy": ent,
+            "approx_kl": jnp.mean(batch.log_prob - log_prob),
+        }
+
+    def train_iteration(state: PpoState):
+        _, h0 = state.env_state  # hidden at the rollout's first step
+        (env_state, hidden), last_obs, key, traj = _rollout(state)
+        _, _, last_value, _ = apply_fn(state.params, last_obs, hidden)
+        advantages, targets = compute_gae(
+            traj.reward, traj.value, traj.done, last_value,
+            config.gamma, config.gae_lambda,
+        )
+
+        num_envs = traj.reward.shape[1]
+        mb_envs = num_envs // config.num_minibatches
+        # Shuffle in BLOCKS of consecutive envs (same rationale as
+        # PpoConfig.shuffle_block: row gathers serialize on TPU at ~1
+        # element/cycle — gathering pixel sequences per-env would dwarf the
+        # backward pass; a block gather moves large contiguous runs).
+        block = max(1, min(config.shuffle_block, mb_envs))
+        if num_envs % block or mb_envs % block:
+            block = 1
+        n_blocks = num_envs // block
+        blocks_per_mb = mb_envs // block
+
+        def blockify(x):
+            return x.reshape((x.shape[0], n_blocks, block) + x.shape[2:])
+
+        traj_b = jax.tree.map(blockify, traj)
+        adv_b, tgt_b = blockify(advantages), blockify(targets)
+        h0_b = h0.reshape((n_blocks, block) + h0.shape[1:])
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kp = jax.random.split(key)
+            perm = jax.random.permutation(kp, n_blocks)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                bidx = jax.lax.dynamic_slice_in_dim(
+                    perm, idx * blocks_per_mb, blocks_per_mb)
+                take = lambda xb: jnp.take(xb, bidx, axis=1).reshape(
+                    (xb.shape[0], mb_envs) + xb.shape[3:])
+                mb = jax.tree.map(take, traj_b)
+                h0_mb = jnp.take(h0_b, bidx, axis=0).reshape(
+                    (mb_envs,) + h0.shape[1:])
+                (loss, metrics), grads = jax.value_and_grad(
+                    _seq_loss, has_aux=True)(
+                        params, mb, h0_mb, take(adv_b), take(tgt_b))
+                if config.axis_name is not None:
+                    grads = jax.lax.pmean(grads, config.axis_name)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, metrics)
+
+            (params, opt_state), (losses, metrics) = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(config.num_minibatches),
+            )
+            return (params, opt_state, key), (losses, metrics)
+
+        (params, opt_state, key), (losses, metrics) = jax.lax.scan(
+            epoch, (state.params, state.opt_state, key),
+            None, length=config.update_epochs,
+        )
+
+        new_state = PpoState(
+            params=params, opt_state=opt_state,
+            env_state=(env_state, hidden),
+            last_obs=last_obs, key=key,
+            update_count=state.update_count + 1,
+        )
+        info = {
+            "loss": losses.mean(),
+            "mean_reward": traj.reward.mean(),
+            "mean_episode_done": traj.done.mean(),
+            **{k: v.mean() for k, v in metrics.items()},
+        }
+        if metrics_fn is not None:
+            info.update(metrics_fn(env_state))
+        return new_state, info
+
+    return init, train_iteration
+
+
 def scan_train(train_iteration, state, num_iterations: int):
     """Run many train iterations as ONE device program (lax.scan).
 

@@ -163,26 +163,32 @@ def learner_probe(iters=40, envs=1024):
     _save("learner_probe", out)
 
 
-def learner_ab(iters=400, envs=1024, seeds=3, arm="pool4_mu_e2"):
-    """VERDICT r4 #1 step 2: seed-matched convergence A/B of the winning
-    learner arm vs the round-4 kernel-e2 default (AUC + last-50 + crash)."""
+def learner_ab(iters=400, envs=1024, seeds=3):
+    """VERDICT r4 #1 step 2: seed-matched convergence A/B of the surviving
+    speed arms vs the kernel-e2 default (AUC + last-50). The probes
+    (learner_probe/learner_probe2) eliminated pooling and larger
+    minibatches (both SLOWER — the learner is activation-bound, not
+    fc-weight-bound); what survives is fastlp (kernel-emitted bf16
+    logprob/value instead of the exact f32 recompute, +12%) and
+    fastlp+mu+e1 (the round-4 726K ladder point, +43% — but r4's
+    single-seed curves showed e1 converging worse at equal iterations,
+    so it must beat the noise band to win)."""
     from fpyv_tpu.apps.train import train_vision
 
     arms = {
         "base_e2": {},
-        "pool4_e2": {"patch_pool": 4},
-        "pool4_mu_e2": {"patch_pool": 4, "adam_mu_dtype": "bf16"},
-        "pool4_mu_e1": {"patch_pool": 4, "adam_mu_dtype": "bf16",
-                        "update_epochs": 1},
+        "fastlp_e2": {"kernel_exact_logprob": False},
+        "fastlp_mu_e1": {"kernel_exact_logprob": False,
+                         "adam_mu_dtype": "bf16", "update_epochs": 1},
     }
     out = {}
-    for name in ("base_e2", arm):
+    for name, kw in arms.items():
         per_seed = {}
         for seed in range(seeds):
             d = RUNS / "learner_ab" / f"{name}_s{seed}"
             res = train_vision(num_envs=envs, num_iterations=iters,
                                seed=seed, log_dir=str(d), print_every=200,
-                               **arms[name])
+                               **kw)
             per_seed[seed] = dict(_curve_stats(d),
                                   steps_per_s=res.steps_per_second)
             print("AB", name, seed, json.dumps(per_seed[seed]), flush=True)
@@ -190,11 +196,102 @@ def learner_ab(iters=400, envs=1024, seeds=3, arm="pool4_mu_e2"):
     _save("learner_ab", out)
 
 
+def kernel_eblk2(envs=1024, T=32):
+    """VERDICT r4 #3 remeasured: the first sweep (kernel_eblk) proved
+    pool4 UNLOCKS e_blk=64 compilation (the fc-weight VMEM blocker cleared)
+    but its direct-call K-sweep timing returned negative slopes — tunnel
+    dispatch noise. This version slope-times a lax.scan of FULL rollout_fn
+    calls (the same method that measured the 34.7 ms rollout in
+    runs/r5/attribution_kernel_p1e2), so dispatch cancels and the state
+    carry defeats loop hoisting."""
+    import time
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fpyv_tpu.envs.vision_acro import VisionAcroEnv
+    from fpyv_tpu.models.policy import PixelActorCritic
+    from fpyv_tpu.ops.pallas_policy import (
+        acro_state_to_cols, make_kernel_vision_ppo_parts)
+    from fpyv_tpu.physics.drone import DroneParams
+    from fpyv_tpu.rl.ppo import PpoConfig, make_ppo
+
+    env = VisionAcroEnv(renderer="raycast", pixel_dtype="u8")
+    env = dataclasses.replace(
+        env, acro=dataclasses.replace(
+            env.acro, params=DroneParams(att_mode="quat")))
+    k_world, k_env, k_net, k_train = jax.random.split(jax.random.key(0), 4)
+    worlds, bank = env.make_randomized_worlds(k_world, envs)
+    env_keys = jax.random.split(k_env, envs)
+    env_state, _ = env.reset_batched(env_keys, worlds, bank)
+    cols0 = acro_state_to_cols(env_state)
+
+    def slope(fn, lo=2, hi=8, reps=3):
+        jax.block_until_ready(fn(lo))
+        jax.block_until_ready(fn(hi))
+
+        def best(n):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(n))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        return (best(hi) - best(lo)) / (hi - lo)
+
+    out = {}
+    for pool in (1, 4):
+        net = PixelActorCritic(action_dim=4, torso="patch", prepatched=True,
+                               compute_dtype=jnp.bfloat16, patch_pool=pool)
+        config = PpoConfig(num_envs=envs, num_steps=T)
+        for e_blk in (32, 64, 128):
+            name = f"pool{pool}_eblk{e_blk}"
+            try:
+                apply_fn, make_rollout_fn, obs_from_cols = (
+                    make_kernel_vision_ppo_parts(env, worlds, net, envs,
+                                                 e_blk=e_blk,
+                                                 interpret=False))
+                obs0 = obs_from_cols(cols0)
+                params = net.init(
+                    k_net,
+                    obs0["pixels"][:1].reshape(1, -1, 64).astype(jnp.uint8),
+                    obs0["proprio"][:1])
+                rollout_fn = make_rollout_fn(T,
+                                             compute_dtype=jnp.bfloat16)
+                init, _ = make_ppo(apply_fn, None, config,
+                                   rollout_fn=rollout_fn)
+                state = init(params, cols0, obs0, k_train)
+
+                def many(n):
+                    def one(st, _):
+                        es, lo, k, traj = rollout_fn(st)
+                        st = st.replace(env_state=es, last_obs=lo, key=k)
+                        return st, (traj.reward.sum(), traj.value.sum())
+
+                    return jax.lax.scan(one, state, None, length=n)[1]
+
+                s = slope(jax.jit(many, static_argnums=0))
+                out[name] = {"rollout_ms": s * 1e3,
+                             "rollout_steps_per_s": envs * T / s}
+            except Exception as e:
+                out[name] = {"error": repr(e)[:300]}
+            print("EBLK", name, json.dumps(out[name]), flush=True)
+    _save("kernel_eblk2", out)
+
+
 def kernel_eblk(envs=1024, T=32):
     """VERDICT r4 #3: e_blk > 32 for the policy kernel. The round-4 blocker
     was the scoped-VMEM budget — dominated by the VMEM-resident fc weights
     (13952 x 256 bf16 = 7.2 MB); patch_pool=4 shrinks them to 1.8 MB, so
-    sweep e_blk x pool and record every arm (even the losers)."""
+    sweep e_blk x pool and record every arm (even the losers).
+
+    OUTCOME (runs/r5/kernel_eblk): pool4 does unlock e_blk=64 compilation,
+    but this function's direct-call K-sweep timing is dispatch-noise-bound
+    on the tunneled platform (negative slopes) — see kernel_eblk2 for the
+    usable timing method."""
     import time
 
     from fpyv_tpu.envs.acro import AcroEnv
@@ -261,6 +358,149 @@ def kernel_eblk(envs=1024, T=32):
                 out[name] = {"error": repr(e)[:300]}
             print("EBLK", name, json.dumps(out[name]), flush=True)
     _save("kernel_eblk", out)
+
+
+def learner_probe2(iters=40, envs=1024):
+    """Follow-up throughput ladder (the pool arms LOST in learner_probe —
+    the learned pool layer's own FLOPs ate the fc saving): minibatch-count
+    arms (fewer, larger minibatches amortize weight reloads and raise MXU
+    row occupancy), the no-recompute kernel logprob, and e1 without pool."""
+    from fpyv_tpu.apps.train import train_vision
+
+    arms = {
+        "base_e2": {},
+        "mb4_e2": {"num_minibatches": 4},
+        "mb2_e2": {"num_minibatches": 2},
+        "mb4_mu_e2": {"num_minibatches": 4, "adam_mu_dtype": "bf16"},
+        "fastlp_e2": {"kernel_exact_logprob": False},
+        "mb4_fastlp_e2": {"num_minibatches": 4,
+                          "kernel_exact_logprob": False},
+        "mu_e1": {"adam_mu_dtype": "bf16", "update_epochs": 1},
+        "mb4_mu_e1": {"num_minibatches": 4, "adam_mu_dtype": "bf16",
+                      "update_epochs": 1},
+    }
+    out = {}
+    for name, kw in arms.items():
+        res = train_vision(num_envs=envs, num_iterations=iters,
+                           scan_chunk=10, print_every=10**9, **kw)
+        out[name] = {"steps_per_s": res.steps_per_second,
+                     "reward_last": res.mean_reward_last}
+        print("ARM", name, json.dumps(out[name]), flush=True)
+    _save("learner_probe2", out)
+
+
+def race_kernel_probe(iters=50, envs=1024):
+    """VERDICT r4 #2 receipts, throughput half: the race policy-in-kernel
+    rollout (ops/pallas_race) vs the XLA scan at the FLAGSHIP recipes
+    (frame-stacked onehot racer / pixels-only racer)."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    arms = {
+        "scan_k4_onehot": {"rollout": "scan", "frame_stack": 4},
+        "kernel_k4_onehot": {"rollout": "kernel", "frame_stack": 4},
+        "scan_k4_pixels": {"rollout": "scan", "frame_stack": 4,
+                           "gate_onehot": False},
+        "kernel_k4_pixels": {"rollout": "kernel", "frame_stack": 4,
+                             "gate_onehot": False},
+        "scan_k1_onehot": {"rollout": "scan"},
+        "kernel_k1_onehot": {"rollout": "kernel"},
+    }
+    out = {}
+    for name, kw in arms.items():
+        try:
+            res = train_vision_race(num_envs=envs, num_iterations=iters,
+                                    gate_size=7.0, scan_chunk=10,
+                                    print_every=10**9, **kw)
+            out[name] = {"steps_per_s": res.steps_per_second,
+                         "reward_last": res.mean_reward_last}
+        except Exception as e:
+            out[name] = {"error": repr(e)[:300]}
+        print("ARM", name, json.dumps(out[name]), flush=True)
+    _save("race_kernel_probe", out)
+
+
+def race_kernel_ab(iters=600, envs=1024, seeds=2):
+    """VERDICT r4 #2, convergence half: seed-matched A/B of the race
+    kernel rollout vs the scan at the frame-stacked onehot recipe
+    (phase-1 budget, 7 m gates). Gate metric AUC decides the auto flip."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    out = {}
+    for name, kw in (("scan", {"rollout": "scan"}),
+                     ("kernel", {"rollout": "kernel"})):
+        per_seed = {}
+        for seed in range(seeds):
+            d = RUNS / "race_kernel_ab" / f"{name}_s{seed}"
+            res = train_vision_race(
+                num_envs=envs, num_iterations=iters, gate_size=7.0,
+                frame_stack=4, seed=seed, log_dir=str(d),
+                print_every=200, **kw)
+            per_seed[seed] = dict(
+                _curve_stats(d, key="mean_gates_passed"),
+                steps_per_s=res.steps_per_second)
+            print("AB", name, seed, json.dumps(per_seed[seed]), flush=True)
+        out[name] = per_seed
+    _save("race_kernel_ab", out)
+
+
+def ma4_fair(p1=1500, p2=2500, races=256):
+    """VERDICT r4 #4: break the 4-agent role lock-in. Same two-phase
+    curriculum + total budget as round 4's ma4 (1500 @ 7 m + 2500 @ 5 m =
+    4000 iters, 256 races) with permute_spawns=True — agents are randomly
+    assigned to spawn-ring slots every episode, so self-play roles cannot
+    attach to spawn positions. Eval at FIXED slots (the honest test: agent
+    i always in slot i — equalization must come from slot-robust policy,
+    not statistical averaging) and at permuted slots for reference.
+    Round-4 table to beat: [16.4, 3.5, 53.8, 19.4] (max/min 15x, mean
+    23.3); done = max/min <= 2x at mean >= 23."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    d = RUNS / "ma4_fair"
+    common = dict(num_envs=races, n_agents=4, permute_spawns=True,
+                  checkpoint_dir=str(d / "ck"), checkpoint_every=100,
+                  log_dir=str(d / "log"), print_every=50)
+    train_vision_race(num_iterations=p1, gate_size=7.0, **common)
+    res = train_vision_race(num_iterations=p2, gate_size=5.0, resume=True,
+                            **common)
+    total = p1 + p2
+    ev_fixed = _eval_vision_race(str(d / "ck"), total, agents=4,
+                                 gate_size=5.0, num_envs=32)
+    from fpyv_tpu.apps.play import play_policy
+
+    ev_perm = play_policy(
+        checkpoint_dir=str(d / "ck"), env_name="vision_race", steps=2000,
+        num_envs=32, seed=7, n_agents=4, gate_size=5.0,
+        permute_spawns=True, step_checkpoint=total, chunk=500)
+    _save("ma4_fair", {
+        "total_iters": total,
+        "train_steps_per_s": res.steps_per_second,
+        "eval_fixed_slots": ev_fixed,
+        "eval_permuted_slots": ev_perm})
+
+
+def gru_ab(iters=1500, races=512, gru=128):
+    """VERDICT r4 #6: give multi-agent a temporal mechanism that works.
+    Seed-matched fixed-budget A/B on the 2-agent pixel race (round 4's
+    ma2_baseline recipe: 512 races, 1500 iters, 7 m gates): single-frame
+    feedforward vs single-frame + GRU-128 recurrent PPO (frame stacking
+    measured NEGATIVE at 4 agents, runs/r4/ma4_fs4)."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    out = {}
+    for name, kw in (("ff", {}), (f"gru{gru}", {"gru": gru})):
+        d = RUNS / "gru_ab" / name
+        res = train_vision_race(
+            num_envs=races, n_agents=2, num_iterations=iters, gate_size=7.0,
+            seed=0, checkpoint_dir=str(d / "ck"), checkpoint_every=300,
+            log_dir=str(d / "log"), print_every=50, **kw)
+        ev = _eval_vision_race(str(d / "ck"), iters, agents=2,
+                               gate_size=7.0, num_envs=32)
+        out[name] = {
+            "train_steps_per_s": res.steps_per_second,
+            **_curve_stats(d / "log", key="mean_gates_passed"),
+            "eval": ev}
+        print("ARM", name, json.dumps(out[name], default=str), flush=True)
+    _save("gru_ab", out)
 
 
 if __name__ == "__main__":
