@@ -575,7 +575,7 @@ def train_vision_race(
     patch_pool: int = 1,  # pooled-patch fc (models/policy.patch_pool)
     adam_mu_dtype: Optional[str] = None,  # "bf16" adam first moment
     e_blk: int = 32,  # (rollout='kernel') envs per kernel program
-    kernel_exact_logprob: bool = True,  # see train_vision
+    kernel_exact_logprob: bool = False,  # see train_vision (round-5 A/B)
     gru: int = 0,  # recurrent temporal memory (VERDICT r4 #6): a GRU of
     #   this width between torso and heads (models/policy.PixelActorCritic
     #   .gru) trained with the sequence-minibatched recurrent PPO
@@ -825,11 +825,18 @@ def train_vision(
     #   contraction N-fold (VERDICT r4 #1). 1 = original architecture.
     adam_mu_dtype: Optional[str] = None,  # "bf16" stores adam's first
     #   moment in bfloat16 (rl/ppo.PpoConfig.adam_mu_dtype)
-    e_blk: int = 32,  # (rollout='kernel') envs per kernel program instance
-    kernel_exact_logprob: bool = True,  # (rollout='kernel') True recomputes
+    e_blk: int = 32,  # (rollout='kernel') envs per kernel program instance.
+    #   e_blk=64 compiles with patch_pool=4 (runs/r5/kernel_eblk2) but buys
+    #   only 1.07x rollout — the render bounds the kernel, not the fc — so
+    #   32 stays default with the unchanged architecture
+    kernel_exact_logprob: bool = False,  # (rollout='kernel') True recomputes
     #   log_prob/value with the XLA forward over stored obs (epoch-0 ratio
-    #   exactly 1); False trusts the kernel's own emissions (one fewer
-    #   (T*N) forward per iteration)
+    #   exactly 1); False (default since round 5) trusts the kernel's own
+    #   bf16 emissions — 1.12x end-to-end (545K vs 488K env-steps/s) with
+    #   convergence within noise on the 3-seed 400-iteration A/B
+    #   (runs/r5/learner_ab: AUC -0.0545 vs -0.0533, last50 -0.0259 vs
+    #   -0.0263). The 1.45x fastlp+mu+e1 arm LOST convergence on all 3
+    #   seeds (AUC -0.0855) and stays opt-in.
     rollout: str = "auto",  # "kernel" = the policy-IN-KERNEL rollout
     #   (ops/pallas_policy): render + patch-embed actor + sample + env step
     #   fused as ONE pallas launch per rollout, weights VMEM-resident,

@@ -78,7 +78,7 @@ def _cmd_train(args):
             rollout=args.rollout,
             patch_pool=args.patch_pool,
             adam_mu_dtype=args.adam_mu_dtype,
-            kernel_exact_logprob=not args.kernel_fast_logprob,
+            kernel_exact_logprob=args.kernel_exact_logprob,
             **({"update_epochs": args.update_epochs}
                if args.update_epochs else {}),
             **({"ent_coef": args.ent_coef}
@@ -135,7 +135,7 @@ def _cmd_train(args):
             randomize_worlds=args.randomize, renderer=args.renderer,
             target_only=args.target_only, torso=args.torso,
             pixel_store=args.pixel_store, rollout=args.rollout,
-            kernel_exact_logprob=not args.kernel_fast_logprob,
+            kernel_exact_logprob=args.kernel_exact_logprob,
             curriculum_iters=args.curriculum,
             patch_pool=args.patch_pool,
             adam_mu_dtype=args.adam_mu_dtype,
@@ -397,10 +397,12 @@ def main(argv=None):
                          "variant adds gate state + K-frame stacks in-"
                          "kernel) when supported, else the XLA scan; force "
                          "with scan/kernel")
-    tp.add_argument("--kernel-fast-logprob", action="store_true",
-                    help="(vision --rollout kernel) trust the kernel's own "
-                         "log_prob/value emissions instead of the exact XLA "
-                         "recompute (1.66x ladder arm, BENCH.md r4)")
+    tp.add_argument("--kernel-exact-logprob", action="store_true",
+                    help="(vision --rollout kernel) recompute log_prob/value "
+                         "with the exact XLA forward instead of trusting the "
+                         "kernel's bf16 emissions (the round-5 default is "
+                         "the fast path: 1.12x, convergence within noise on "
+                         "the 3-seed A/B — runs/r5/learner_ab)")
     tp.add_argument("--update-epochs", type=int, default=None,
                     help="PPO epochs per iteration (default: trainer's)")
     tp.add_argument("--patch-pool", type=int, default=1,

@@ -10,13 +10,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import shutil
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 RUNS = REPO / "runs" / "r5"
-R4 = REPO / "runs" / "r4"
 
 
 def _read_metric(log_dir, key="mean_gates_passed"):
@@ -63,41 +61,30 @@ def _save(name, obj):
     print("RESULT", name, json.dumps(obj))
 
 
-def _continue_from_r4(src_name, dst_name):
-    """Copy an r4 checkpoint+log tree into r5 so the extension resumes
-    without touching the round-4 artifacts."""
-    d = RUNS / dst_name
-    if not (d / "ck").exists():
-        d.mkdir(parents=True, exist_ok=True)
-        shutil.copytree(R4 / src_name / "ck", d / "ck")
-        shutil.copytree(R4 / src_name / "log", d / "log")
-    return d
-
-
 # ---------------------------------------------------------------------------
 # Experiments
 # ---------------------------------------------------------------------------
 
 
-def hardest_ext(extra=4000, races=1024):
+def hardest_fresh(p1=800, p2=3200, races=1024):
     """VERDICT r4 #5: converge the frontier config (pixels + IMU + 4-frame
     memory + 3 moving obstacles, NO gate onehot). Round 4 stopped at 2000
-    iterations / 6.4 gates with the curve still climbing; every sibling
-    lane kept improving with budget. Extend to 2000+extra at the 5 m gates
-    and locate the ceiling like onehot_memory_k4_ext did."""
+    iterations / 6.4 gates with the curve still climbing and did not keep
+    checkpoints, so this is a FRESH run at 2x the budget on the same
+    two-phase curriculum (800 @ 7 m -> the rest @ 5 m), checkpointed every
+    200 so extension arms can branch from any point."""
     from fpyv_tpu.apps.train import train_vision_race
 
-    from fpyv_tpu.utils.checkpoint import latest_step
-
-    d = _continue_from_r4("hardest_vision", "hardest_ext")
-    start = latest_step(str(d / "ck")) or 2000
-    res = train_vision_race(
-        num_envs=races, n_agents=1, num_iterations=extra, gate_size=5.0,
-        gate_onehot=False, frame_stack=4, n_obstacles=3, resume=True,
-        checkpoint_dir=str(d / "ck"), checkpoint_every=200,
-        log_dir=str(d / "log"), print_every=50)
-    total = start + extra
-    saved = list(range(2200, total + 1, 200))
+    d = RUNS / "hardest"
+    common = dict(num_envs=races, n_agents=1, gate_onehot=False,
+                  frame_stack=4, n_obstacles=3,
+                  checkpoint_dir=str(d / "ck"), checkpoint_every=200,
+                  log_dir=str(d / "log"), print_every=50)
+    train_vision_race(num_iterations=p1, gate_size=7.0, **common)
+    res = train_vision_race(num_iterations=p2, gate_size=5.0, resume=True,
+                            **common)
+    total = p1 + p2
+    saved = list(range(p1 + 200, total + 1, 200))
     peak, peak_train = _peak_step(d / "log", saved)
     evals = {}
     for tag, step in (("peak", peak), ("final", total)):
@@ -105,18 +92,39 @@ def hardest_ext(extra=4000, races=1024):
             _eval_vision_race(str(d / "ck"), step, agents=1, gate_size=5.0,
                               frame_stack=4, gate_onehot=False,
                               n_obstacles=3), step=step)
-    _save("hardest_ext", {
+    _save("hardest", {
         "total_iters": total,
         "train_steps_per_s": res.steps_per_second,
         "peak_step": peak, "peak_train_gates": peak_train,
         "eval": evals})
 
 
-def hardest_ext_eval(total=6000, train_sps=0):
-    """Eval-only recovery for hardest_ext (the training finished and saved
-    every checkpoint; the in-process eval died on a mid-run source edit)."""
-    d = RUNS / "hardest_ext"
-    saved = list(range(2200, total + 1, 200))
+def hardest_lowent(start=4000, extra=2000, races=1024, ent=0.003):
+    """Entropy-control extension branch for the frontier run: the round-4
+    frontier log shows policy entropy CLIMBING monotonically (3.8 -> 7.1
+    nats by iter 2000 — sigma ~1.4 per action dim, exploration noise the
+    size of the action box). Branch from hardest's `start` checkpoint with
+    ent_coef dropped to `ent` and measure whether taming sigma converts
+    the noisy plateau into laps."""
+    import shutil
+
+    from fpyv_tpu.apps.train import train_vision_race
+
+    src = RUNS / "hardest"
+    d = RUNS / "hardest_lowent"
+    if not (d / "ck").exists():
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "ck").mkdir()
+        shutil.copytree(src / "ck" / f"step_{start:010d}",
+                        d / "ck" / f"step_{start:010d}")
+        shutil.copytree(src / "log", d / "log")
+    res = train_vision_race(
+        num_envs=races, n_agents=1, num_iterations=extra, gate_size=5.0,
+        gate_onehot=False, frame_stack=4, n_obstacles=3, ent_coef=ent,
+        resume=True, checkpoint_dir=str(d / "ck"), checkpoint_every=200,
+        log_dir=str(d / "log"), print_every=50)
+    total = start + extra
+    saved = list(range(start + 200, total + 1, 200))
     peak, peak_train = _peak_step(d / "log", saved)
     evals = {}
     for tag, step in (("peak", peak), ("final", total)):
@@ -124,9 +132,9 @@ def hardest_ext_eval(total=6000, train_sps=0):
             _eval_vision_race(str(d / "ck"), step, agents=1, gate_size=5.0,
                               frame_stack=4, gate_onehot=False,
                               n_obstacles=3), step=step)
-    _save("hardest_ext", {
-        "total_iters": total,
-        "train_steps_per_s": train_sps or None,
+    _save("hardest_lowent", {
+        "ent_coef": ent, "branched_at": start, "total_iters": total,
+        "train_steps_per_s": res.steps_per_second,
         "peak_step": peak, "peak_train_gates": peak_train,
         "eval": evals})
 
@@ -419,17 +427,19 @@ def race_kernel_probe(iters=50, envs=1024):
     _save("race_kernel_probe", out)
 
 
-def race_kernel_ab(iters=600, envs=1024, seeds=2):
+def race_kernel_ab(iters=600, envs=1024, seeds=2, seed_start=0):
     """VERDICT r4 #2, convergence half: seed-matched A/B of the race
     kernel rollout vs the scan at the frame-stacked onehot recipe
-    (phase-1 budget, 7 m gates). Gate metric AUC decides the auto flip."""
+    (phase-1 budget, 7 m gates). Gate metric AUC decides the auto flip.
+    Seeds 0-1 measured BIMODAL take-off (scan last50: 1.95 vs 25.2), so
+    the verdict needs 4 seeds — run again with seed_start=2 and merge."""
     from fpyv_tpu.apps.train import train_vision_race
 
     out = {}
     for name, kw in (("scan", {"rollout": "scan"}),
                      ("kernel", {"rollout": "kernel"})):
         per_seed = {}
-        for seed in range(seeds):
+        for seed in range(seed_start, seed_start + seeds):
             d = RUNS / "race_kernel_ab" / f"{name}_s{seed}"
             res = train_vision_race(
                 num_envs=envs, num_iterations=iters, gate_size=7.0,
@@ -440,7 +450,8 @@ def race_kernel_ab(iters=600, envs=1024, seeds=2):
                 steps_per_s=res.steps_per_second)
             print("AB", name, seed, json.dumps(per_seed[seed]), flush=True)
         out[name] = per_seed
-    _save("race_kernel_ab", out)
+    tag = "race_kernel_ab" if seed_start == 0 else f"race_kernel_ab_s{seed_start}"
+    _save(tag, out)
 
 
 def ma4_fair(p1=1500, p2=2500, races=256):
