@@ -561,6 +561,8 @@ def train_vision_race(
     #   (temporal memory for the pure-pixels racer, VERDICT r3 #3)
     agent_collision_radius: float = 0.35,  # collision curriculum lever
     w_overtake: float = 0.0,  # opponent-conditioned reward term
+    permute_spawns: bool = False,  # per-episode random spawn-slot
+    #   assignment (multi_race.permute_spawns — the r4 role-lock-in fix)
     show_opponents: bool = True,  # False = in-frame opponent ablation
     n_obstacles: int = 0,  # moving obstacle spheres orbiting the track
     #   (rendered in the FPV frame; contact = crash)
@@ -569,9 +571,12 @@ def train_vision_race(
     #   (ops/pallas_race): render + K-frame stack + patch-embed actor +
     #   full race step (gate passing, obstacles, respawn) fused as ONE
     #   pallas launch, weights VMEM-resident. Requires n_agents == 1,
-    #   torso='patch', no distributed. "scan" = the XLA per-step rollout.
-    #   "auto" currently resolves to scan (the kernel flips in once its
-    #   seed-matched convergence A/B lands — BENCH.md round 5).
+    #   torso='patch', no distributed/gru. "scan" = the XLA per-step
+    #   rollout. "auto" picks the kernel exactly when supported (round-5
+    #   receipts: 1.33x at the frame-stacked flagship recipe — 293K vs
+    #   221K env-steps/s — and convergence within the seed-noise band on
+    #   the 4-seed 600-iteration A/B, kernel medians AUC 3.07 / last50
+    #   7.8 gates vs scan 1.93 / 4.3; runs/r5/race_kernel_ab*).
     patch_pool: int = 1,  # pooled-patch fc (models/policy.patch_pool)
     adam_mu_dtype: Optional[str] = None,  # "bf16" adam first moment
     e_blk: int = 32,  # (rollout='kernel') envs per kernel program
@@ -598,12 +603,15 @@ def train_vision_race(
                           max_episode_steps=max_episode_steps,
                           agent_collision_radius=agent_collision_radius,
                           w_overtake=w_overtake, n_obstacles=n_obstacles,
-                          obstacle_period=obstacle_period),
+                          obstacle_period=obstacle_period,
+                          permute_spawns=permute_spawns),
         frame_width=frame_width, gate_onehot=gate_onehot,
         frame_stack=frame_stack, show_opponents=show_opponents,
         **({"rig": rig} if rig is not None else {}))
     if rollout == "auto":
-        rollout = "scan"  # kernel flip gated on the convergence A/B
+        supported = (n_agents == 1 and torso == "patch"
+                     and not distributed and not gru)
+        rollout = "kernel" if supported else "scan"
     if gru and rollout == "kernel":
         raise ValueError("gru runs on the scan rollout (the kernel's "
                          "temporal mechanism is the K-frame stack)")

@@ -71,6 +71,7 @@ def _cmd_train(args):
             gate_onehot=not args.no_gate_onehot,
             frame_stack=args.frame_stack,
             gru=args.gru,
+            permute_spawns=args.permute_spawns,
             n_obstacles=args.obstacles,
             agent_collision_radius=args.collision_radius,
             w_overtake=args.w_overtake,
