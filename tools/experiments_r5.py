@@ -489,7 +489,7 @@ def ma4_fair(p1=1500, p2=2500, races=256):
         "eval_permuted_slots": ev_perm})
 
 
-def gru_ab(iters=1500, races=512, gru=128):
+def gru_ab(iters=1500, races=512, gru=128, seed=0):
     """VERDICT r4 #6: give multi-agent a temporal mechanism that works.
     Seed-matched fixed-budget A/B on the 2-agent pixel race (round 4's
     ma2_baseline recipe: 512 races, 1500 iters, 7 m gates): single-frame
@@ -499,10 +499,10 @@ def gru_ab(iters=1500, races=512, gru=128):
 
     out = {}
     for name, kw in (("ff", {}), (f"gru{gru}", {"gru": gru})):
-        d = RUNS / "gru_ab" / name
+        d = RUNS / "gru_ab" / (name if seed == 0 else f"{name}_s{seed}")
         res = train_vision_race(
             num_envs=races, n_agents=2, num_iterations=iters, gate_size=7.0,
-            seed=0, checkpoint_dir=str(d / "ck"), checkpoint_every=300,
+            seed=seed, checkpoint_dir=str(d / "ck"), checkpoint_every=300,
             log_dir=str(d / "log"), print_every=50, **kw)
         ev = _eval_vision_race(str(d / "ck"), iters, agents=2,
                                gate_size=7.0, num_envs=32)
@@ -511,7 +511,7 @@ def gru_ab(iters=1500, races=512, gru=128):
             **_curve_stats(d / "log", key="mean_gates_passed"),
             "eval": ev}
         print("ARM", name, json.dumps(out[name], default=str), flush=True)
-    _save("gru_ab", out)
+    _save("gru_ab" if seed == 0 else f"gru_ab_s{seed}", out)
 
 
 if __name__ == "__main__":
