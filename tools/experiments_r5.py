@@ -514,6 +514,61 @@ def gru_ab(iters=1500, races=512, gru=128, seed=0):
     _save("gru_ab" if seed == 0 else f"gru_ab_s{seed}", out)
 
 
+def _rig(w, h):
+    from fpyv_tpu.vision.camera import CameraRig
+
+    return CameraRig(pitch_deg=35.0, rel_position=(0.1, 0.0, 0.0),
+                     fov_deg=120.0, resolution=(w, h))
+
+
+def lowres_probe(iters=40, envs=1024):
+    """The round-5 attribution puts the RENDER at the rollout's floor
+    (34.5 ms, insensitive to matmul shape) and the pixels dominate the
+    learner's activations — so the retina is the biggest untouched
+    lever. Throughput ladder at 64x48 (2.25x fewer rays) and 48x40
+    (3.6x) vs the 96x72 default on the kernel-fastlp-e2 recipe."""
+    from fpyv_tpu.apps.train import train_vision
+
+    arms = {
+        "r96x72": {},
+        "r64x48": {"rig": _rig(64, 48)},
+        "r48x40": {"rig": _rig(48, 40)},
+    }
+    out = {}
+    for name, kw in arms.items():
+        try:
+            res = train_vision(num_envs=envs, num_iterations=iters,
+                               scan_chunk=10, print_every=10**9, **kw)
+            out[name] = {"steps_per_s": res.steps_per_second,
+                         "reward_last": res.mean_reward_last}
+        except Exception as e:
+            out[name] = {"error": repr(e)[:300]}
+        print("ARM", name, json.dumps(out[name]), flush=True)
+    _save("lowres_probe", out)
+
+
+def lowres_ab(iters=400, envs=1024, seeds=3, w=64, h=48):
+    """Convergence half: does the task survive the smaller retina? The
+    chased target subtends ~3 px at 96x72 from across the default world;
+    halving the retina halves that. Seed-matched AUC/last-50 vs the
+    default resolution."""
+    from fpyv_tpu.apps.train import train_vision
+
+    out = {}
+    for name, kw in (("r96x72", {}), (f"r{w}x{h}", {"rig": _rig(w, h)})):
+        per_seed = {}
+        for seed in range(seeds):
+            d = RUNS / "lowres_ab" / f"{name}_s{seed}"
+            res = train_vision(num_envs=envs, num_iterations=iters,
+                               seed=seed, log_dir=str(d), print_every=200,
+                               **kw)
+            per_seed[seed] = dict(_curve_stats(d),
+                                  steps_per_s=res.steps_per_second)
+            print("AB", name, seed, json.dumps(per_seed[seed]), flush=True)
+        out[name] = per_seed
+    _save("lowres_ab", out)
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("experiment")
