@@ -569,6 +569,34 @@ def lowres_ab(iters=400, envs=1024, seeds=3, w=64, h=48):
     _save("lowres_ab", out)
 
 
+def race_lowres(iters=600, envs=1024):
+    """Does the retina dial transfer to the RACE lane? Risk: at 64x48 the
+    0.35 m gate band subtends ~0.9 px from across the 12 m track (the
+    frame_width lesson of VERDICT r2 #8), so one arm widens the band to
+    compensate. Single-seed exploratory vs race_kernel_ab's kernel_s0
+    (same recipe at 96x72: last50 8.39)."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    arms = {
+        "r64x48_fw035": {"rig": _rig(64, 48)},
+        "r64x48_fw050": {"rig": _rig(64, 48), "frame_width": 0.5},
+    }
+    out = {}
+    for name, kw in arms.items():
+        d = RUNS / "race_lowres" / name
+        try:
+            res = train_vision_race(
+                num_envs=envs, num_iterations=iters, gate_size=7.0,
+                frame_stack=4, seed=0, log_dir=str(d), print_every=200,
+                **kw)
+            out[name] = dict(_curve_stats(d, key="mean_gates_passed"),
+                             steps_per_s=res.steps_per_second)
+        except Exception as e:
+            out[name] = {"error": repr(e)[:300]}
+        print("ARM", name, json.dumps(out[name]), flush=True)
+    _save("race_lowres", out)
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("experiment")
