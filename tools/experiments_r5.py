@@ -569,6 +569,31 @@ def lowres_ab(iters=400, envs=1024, seeds=3, w=64, h=48):
     _save("lowres_ab", out)
 
 
+def ma4_gru(p1=1500, p2=2500, races=256, gru=128):
+    """The 4-agent temporal-mechanism capstone: frame stacking measured
+    NEGATIVE at 4 agents (runs/r4/ma4_fs4) and the 2-agent GRU A/B showed
+    a stall-or-brilliance profile (runs/r5/gru_ab*). Run GRU-128 +
+    permuted spawns at ma4_fair's exact two-phase budget and eval against
+    its 64.7 gates/agent fixed-slot table."""
+    from fpyv_tpu.apps.train import train_vision_race
+
+    d = RUNS / "ma4_gru"
+    common = dict(num_envs=races, n_agents=4, permute_spawns=True,
+                  gru=gru, checkpoint_dir=str(d / "ck"),
+                  checkpoint_every=100, log_dir=str(d / "log"),
+                  print_every=50)
+    train_vision_race(num_iterations=p1, gate_size=7.0, **common)
+    res = train_vision_race(num_iterations=p2, gate_size=5.0, resume=True,
+                            **common)
+    total = p1 + p2
+    ev = _eval_vision_race(str(d / "ck"), total, agents=4, gate_size=5.0,
+                           num_envs=32)
+    _save("ma4_gru", {
+        "gru": gru, "total_iters": total,
+        "train_steps_per_s": res.steps_per_second,
+        "eval_fixed_slots": ev})
+
+
 def race_lowres(iters=600, envs=1024):
     """Does the retina dial transfer to the RACE lane? Risk: at 64x48 the
     0.35 m gate band subtends ~0.9 px from across the 12 m track (the
