@@ -151,7 +151,9 @@ def _kernel(params, cfg: _RaceCfg, rcfg: _RenderCfg, rig: CameraRig,
 
     kf_pad = wf_ref.shape[0]
     n_flat = NPG * 128
-    P_prop = 5 + G
+    # proprio layout: [rates(3), accel_z, thrust, onehot(G)] padded to 16
+    # (the fcin pad slot); wf rows past it must stay zero
+    assert 5 + G <= 16, f"proprio block 5+{G} exceeds the 16-wide pad slot"
 
     @pl.when(k == 0)
     def _():
@@ -218,6 +220,9 @@ def _kernel(params, cfg: _RaceCfg, rcfg: _RenderCfg, rig: CameraRig,
             oc = lambda j: ocol_ref[:, o + j:o + j + 1]
             pcx, pcy, pcz = oc(0), oc(1), oc(2)
             pr, res, cnt0 = oc(3), oc(4), oc(5)
+            # res >= 1 clamp matches multi_race._obstacles_at (an
+            # obstacle_period=0 world must not divide by zero in-kernel)
+            res = jnp.maximum(res, 1.0)
             theta = (2.0 * np.pi) * jnp.mod(cnt0 + t, res) / res
             out.append((pcx + pr * jnp.cos(theta),
                         pcy + pr * jnp.sin(theta), pcz,
@@ -265,7 +270,8 @@ def _kernel(params, cfg: _RaceCfg, rcfg: _RenderCfg, rig: CameraRig,
     zero = jnp.zeros_like(r0)
     prop_cols = [r0, r1, r2, az_n, th_n] + onehot
     pad16 = 16 - len(prop_cols)
-    extra_out[0, :, :] = jnp.concatenate(prop_cols + [zero] * pad16, axis=1)
+    prop16 = jnp.concatenate(prop_cols + [zero] * pad16, axis=1)
+    extra_out[0, :, :] = prop16
 
     # ---- policy forward ----------------------------------------------------
     for p in range(NP):
@@ -290,8 +296,8 @@ def _kernel(params, cfg: _RaceCfg, rcfg: _RenderCfg, rig: CameraRig,
     else:
         for p in range(NP):
             fcin_s[:, p * 128:(p + 1) * 128] = emb[p * E:(p + 1) * E, :]
-    prop = jnp.concatenate(prop_cols + [zero] * pad16, axis=1).astype(dt)
-    fcin_s[:, n_flat:n_flat + 16] = prop  # wf rows past P_prop are zero
+    fcin_s[:, n_flat:n_flat + 16] = prop16.astype(dt)  # wf rows past the
+    #   proprio block are zero
     h = jax.lax.dot_general(
         fcin_s[:, :], wf_ref[:, :], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dt)

@@ -420,21 +420,31 @@ class TestGruPolicy:
         out = net.apply(params, px, pr)
         assert len(out) == 3
 
-    def test_recurrent_learner_recompute_is_exact(self):
+    def test_recurrent_learner_recompute_is_exact(self, tmp_path):
         """Epoch-0 invariant: with ONE minibatch (all envs, params not yet
         updated) the learner's sequence re-scan from h0 — replaying the
         rollout's done-resets — must reproduce the rollout log_probs, so
-        approx_kl == 0. This pins the truncated-BPTT replay semantics."""
+        approx_kl == 0. This pins the truncated-BPTT replay semantics
+        (zeroing the hidden before instead of after a step, or replaying
+        from the wrong h0, breaks it)."""
+        import json
+
         from fpyv_tpu.apps.train import train_vision_race
 
-        # single-iteration run; approx_kl is logged per minibatch and the
-        # first minibatch of the first epoch sees unchanged params
+        # single iteration, ONE minibatch, ONE epoch: the logged approx_kl
+        # IS the first minibatch's, computed before any param update
+        log_dir = str(tmp_path / "log")
         res = train_vision_race(
             num_envs=4, num_iterations=1, num_steps=6, scan_chunk=1,
             num_minibatches=1, update_epochs=1, gru=8,
             compute_dtype="f32", print_every=100,
-            log_dir=None)
+            log_dir=log_dir)
         assert np.isfinite(res.mean_reward_last)
+        rows = [json.loads(l)
+                for l in open(f"{log_dir}/metrics.jsonl")]
+        kl = [r["approx_kl"] for r in rows if "approx_kl" in r]
+        assert kl, "approx_kl not logged"
+        assert abs(kl[0]) < 1e-5, f"replay not exact: approx_kl={kl[0]}"
 
     def test_trainer_smoke_and_play_roundtrip(self, tmp_path):
         from fpyv_tpu.apps.play import play_policy

@@ -152,13 +152,16 @@ def learner_probe(iters=40, envs=1024):
     convergence question goes to learner_ab."""
     from fpyv_tpu.apps.train import train_vision
 
+    # NOTE: measured before the round-5 kernel_exact_logprob default flip;
+    # exact=True is pinned so re-runs reproduce the recorded baselines
+    E = {"kernel_exact_logprob": True}
     arms = {
-        "base_e2": {},
-        "mu_e2": {"adam_mu_dtype": "bf16"},
-        "pool2_e2": {"patch_pool": 2},
-        "pool4_e2": {"patch_pool": 4},
-        "pool4_mu_e2": {"patch_pool": 4, "adam_mu_dtype": "bf16"},
-        "pool4_mu_e1": {"patch_pool": 4, "adam_mu_dtype": "bf16",
+        "base_e2": {**E},
+        "mu_e2": {**E, "adam_mu_dtype": "bf16"},
+        "pool2_e2": {**E, "patch_pool": 2},
+        "pool4_e2": {**E, "patch_pool": 4},
+        "pool4_mu_e2": {**E, "patch_pool": 4, "adam_mu_dtype": "bf16"},
+        "pool4_mu_e1": {**E, "patch_pool": 4, "adam_mu_dtype": "bf16",
                         "update_epochs": 1},
     }
     out = {}
@@ -184,7 +187,9 @@ def learner_ab(iters=400, envs=1024, seeds=3):
     from fpyv_tpu.apps.train import train_vision
 
     arms = {
-        "base_e2": {},
+        # exact=True pinned: this A/B *decided* the round-5 default flip,
+        # so the baseline must not follow the new default on re-runs
+        "base_e2": {"kernel_exact_logprob": True},
         "fastlp_e2": {"kernel_exact_logprob": False},
         "fastlp_mu_e1": {"kernel_exact_logprob": False,
                          "adam_mu_dtype": "bf16", "update_epochs": 1},
@@ -375,16 +380,19 @@ def learner_probe2(iters=40, envs=1024):
     row occupancy), the no-recompute kernel logprob, and e1 without pool."""
     from fpyv_tpu.apps.train import train_vision
 
+    # NOTE: measured before the round-5 kernel_exact_logprob default flip;
+    # exact=True is pinned on the non-fastlp arms so re-runs reproduce them
+    E = {"kernel_exact_logprob": True}
     arms = {
-        "base_e2": {},
-        "mb4_e2": {"num_minibatches": 4},
-        "mb2_e2": {"num_minibatches": 2},
-        "mb4_mu_e2": {"num_minibatches": 4, "adam_mu_dtype": "bf16"},
+        "base_e2": {**E},
+        "mb4_e2": {**E, "num_minibatches": 4},
+        "mb2_e2": {**E, "num_minibatches": 2},
+        "mb4_mu_e2": {**E, "num_minibatches": 4, "adam_mu_dtype": "bf16"},
         "fastlp_e2": {"kernel_exact_logprob": False},
         "mb4_fastlp_e2": {"num_minibatches": 4,
                           "kernel_exact_logprob": False},
-        "mu_e1": {"adam_mu_dtype": "bf16", "update_epochs": 1},
-        "mb4_mu_e1": {"num_minibatches": 4, "adam_mu_dtype": "bf16",
+        "mu_e1": {**E, "adam_mu_dtype": "bf16", "update_epochs": 1},
+        "mb4_mu_e1": {**E, "num_minibatches": 4, "adam_mu_dtype": "bf16",
                       "update_epochs": 1},
     }
     out = {}
@@ -592,6 +600,46 @@ def ma4_gru(p1=1500, p2=2500, races=256, gru=128):
         "gru": gru, "total_iters": total,
         "train_steps_per_s": res.steps_per_second,
         "eval_fixed_slots": ev})
+
+
+def gru_gem_ext(extra=1000, races=512, gru=128):
+    """Extension receipt for the best racer in the repo: gru_ab seed 1's
+    GRU-128 2-agent arm (87.2 gates/agent, 14x fewer crashes at 1500
+    iterations). Resume +extra at the same recipe and locate its ceiling
+    like every other flagship lane."""
+    import shutil
+
+    from fpyv_tpu.apps.train import train_vision_race
+
+    src = RUNS / "gru_ab" / "gru128_s1"
+    d = RUNS / "gru_gem_ext"
+    if not (d / "ck").exists():
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copytree(src / "ck", d / "ck")
+        shutil.copytree(src / "log", d / "log")
+    from fpyv_tpu.utils.checkpoint import latest_step
+
+    start = latest_step(str(d / "ck"))
+    res = train_vision_race(
+        num_envs=races, n_agents=2, num_iterations=extra, gate_size=7.0,
+        gru=gru, seed=1, resume=True, checkpoint_dir=str(d / "ck"),
+        checkpoint_every=250, log_dir=str(d / "log"), print_every=50)
+    total = start + extra
+    # only steps that actually saved: checkpoint cadence quantizes to the
+    # scan-chunk boundary, so enumerate the ck dir instead of assuming
+    saved = sorted(int(q.name.split("_")[1])
+                   for q in (d / "ck").glob("step_*"))
+    peak, peak_train = _peak_step(d / "log", saved)
+    evals = {}
+    for tag, step in (("peak", peak), ("final", total)):
+        evals[tag] = dict(
+            _eval_vision_race(str(d / "ck"), step, agents=2,
+                              gate_size=7.0), step=step)
+    _save("gru_gem_ext", {
+        "total_iters": total,
+        "train_steps_per_s": res.steps_per_second,
+        "peak_step": peak, "peak_train_gates": peak_train,
+        "eval": evals})
 
 
 def race_lowres(iters=600, envs=1024):
